@@ -1,0 +1,15 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The moral equivalent of the reference's serial MPI stub (src/STUBS/mpi.c):
+multi-device code paths are exercised on one host by forcing XLA to expose
+8 virtual CPU devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
