@@ -1,0 +1,456 @@
+"""Scene builder: the input-script surface as a Python API.
+
+Mirrors the LAMMPS command set the reference examples use (input.cpp:854
+dispatch): ``dimension/units/boundary/atom_style`` (constructor),
+``region / create_box / lattice / create_atoms / delete_atoms / group /
+mass / set / velocity / pair_style / pair_coeff / fix / timestep / run``.
+Scene state is host-side numpy; ``build()`` bins everything into the
+TPU-ready cell-slot State and assembles the static ModelSpec.
+
+Lattice filling follows create_atoms (create_atoms.cpp:362-364): sites at
+``(i + origin) * a`` per axis, kept when inside both the target region and
+the simulation box; region containment is inclusive like Region::match
+(region_block.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_bvf_tpu.core import fixes as fixes_mod
+from sph_bvf_tpu.core.integrate import IntegratorConfig
+from sph_bvf_tpu.core.state import (
+    GROUP_ALL,
+    Geometry,
+    Params,
+    State,
+    rebin,
+    state_from_particles,
+)
+from sph_bvf_tpu.core.stepper import ModelSpec
+from sph_bvf_tpu.ops.eos import tait_b
+from sph_bvf_tpu.ops.pair import PairConfig
+
+
+# ---------------------------------------------------------------------------
+# Regions (region_block.cpp, region_sphere.cpp, region_union.cpp ...)
+# ---------------------------------------------------------------------------
+
+
+class Region:
+    def contains(self, x: np.ndarray) -> np.ndarray:  # [n, 3] -> [n] bool
+        raise NotImplementedError
+
+    # set algebra, like region union/intersect/subtract
+    def __or__(self, other):
+        return _Combine(np.logical_or, self, other)
+
+    def __and__(self, other):
+        return _Combine(np.logical_and, self, other)
+
+    def __sub__(self, other):
+        return _Combine(lambda a, b: a & ~b, self, other)
+
+    def __invert__(self):
+        return _Not(self)
+
+    @staticmethod
+    def block(xlo=-np.inf, xhi=np.inf, ylo=-np.inf, yhi=np.inf,
+              zlo=-np.inf, zhi=np.inf):
+        return _Block((xlo, ylo, zlo), (xhi, yhi, zhi))
+
+    @staticmethod
+    def sphere(cx, cy, cz, r):
+        return _Sphere((cx, cy, cz), r)
+
+    @staticmethod
+    def circle(cx, cy, r):
+        """2D disk (z ignored)."""
+        return _Circle((cx, cy), r)
+
+
+@dataclasses.dataclass
+class _Block(Region):
+    lo: Tuple[float, float, float]
+    hi: Tuple[float, float, float]
+
+    def contains(self, x):
+        lo = np.asarray(self.lo)
+        hi = np.asarray(self.hi)
+        return np.all((x >= lo) & (x <= hi), axis=-1)
+
+
+@dataclasses.dataclass
+class _Sphere(Region):
+    c: Tuple[float, float, float]
+    r: float
+
+    def contains(self, x):
+        d = x - np.asarray(self.c)
+        return np.sum(d * d, axis=-1) <= self.r * self.r
+
+
+@dataclasses.dataclass
+class _Circle(Region):
+    c: Tuple[float, float]
+    r: float
+
+    def contains(self, x):
+        d = x[..., :2] - np.asarray(self.c)
+        return np.sum(d * d, axis=-1) <= self.r * self.r
+
+
+@dataclasses.dataclass
+class _Combine(Region):
+    op: object
+    a: Region
+    b: Region
+
+    def contains(self, x):
+        return self.op(self.a.contains(x), self.b.contains(x))
+
+
+@dataclasses.dataclass
+class _Not(Region):
+    a: Region
+
+    def contains(self, x):
+        return ~self.a.contains(x)
+
+
+# ---------------------------------------------------------------------------
+# Scene
+# ---------------------------------------------------------------------------
+
+
+class Scene:
+    def __init__(
+        self,
+        dim: int = 2,
+        n_sdpd: int = 0,
+        n_ssa: int = 0,
+        n_rxn: int = 0,
+        boundary: Tuple[str, str, str] = ("f", "f", "p"),
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.dim = dim
+        self.n_sdpd = n_sdpd
+        self.n_ssa = n_ssa
+        self.n_rxn = n_rxn
+        self.periodic = tuple(b == "p" for b in boundary)
+        self.dtype = dtype
+        self.seed = seed
+
+        self.box_lo = None
+        self.box_hi = None
+        self.ntypes = 0
+        self._lattice = None  # (spacing, origin)
+        self._x: List[np.ndarray] = []
+        self._type: List[int] = []
+        self._groups: Dict[str, int] = {"all": GROUP_ALL}
+        self._next_groupbit = 2
+        self._groupmask: List[int] = []
+        self._masses: Dict[int, float] = {}
+        self._per_atom: Dict[str, np.ndarray] = {}
+        self._pair_variant = None
+        self._pair_kwargs = {}
+        self._coeff = {}
+        self._integ: Optional[IntegratorConfig] = None
+        self._fixes: List[object] = []
+        self._ssa_cfg = None
+        self._dt = None
+        self.rebin_every = 10
+        self.cap: Optional[int] = None
+        self.margin_frac = 0.25
+        # round the x cell count down to a multiple (for even mesh sharding)
+        self.ncx_multiple_of = 1
+
+    # -- domain -------------------------------------------------------------
+    def create_box(self, ntypes: int, region: _Block):
+        self.ntypes = ntypes
+        self.box_lo = tuple(region.lo)
+        self.box_hi = tuple(region.hi)
+        return self
+
+    def lattice(self, style: str, spacing: float, origin=(0.5, 0.5, 0.0)):
+        assert style in ("sq", "sc"), "square/simple-cubic lattices supported"
+        self._lattice = (float(spacing), tuple(origin))
+        return self
+
+    def _lattice_sites(self) -> np.ndarray:
+        a, origin = self._lattice
+        lo, hi = np.asarray(self.box_lo), np.asarray(self.box_hi)
+        axes = []
+        for ax in range(3):
+            if ax >= self.dim:
+                axes.append(np.array([0.0]))
+                continue
+            i0 = int(np.floor((lo[ax]) / a - origin[ax])) - 1
+            i1 = int(np.ceil((hi[ax]) / a - origin[ax])) + 1
+            coords = (np.arange(i0, i1 + 1) + origin[ax]) * a
+            coords = coords[(coords >= lo[ax]) & (coords <= hi[ax])]
+            axes.append(coords)
+        g = np.meshgrid(*axes, indexing="ij")
+        return np.stack([c.ravel() for c in g], axis=-1)
+
+    # -- atoms --------------------------------------------------------------
+    def _current_x(self) -> np.ndarray:
+        if not self._x:
+            return np.zeros((0, 3))
+        return np.asarray(self._x)
+
+    def create_atoms(self, ptype: int, region: Region):
+        sites = self._lattice_sites()
+        keep = region.contains(sites)
+        for p in sites[keep]:
+            self._x.append(p)
+            self._type.append(ptype - 1)  # 1-indexed like LAMMPS
+            self._groupmask.append(GROUP_ALL)
+        return self
+
+    def delete_atoms(self, region: Region):
+        if not self._x:
+            return self
+        x = self._current_x()
+        keep = ~region.contains(x)
+        self._x = [p for p, k in zip(self._x, keep) if k]
+        self._type = [t for t, k in zip(self._type, keep) if k]
+        self._groupmask = [g for g, k in zip(self._groupmask, keep) if k]
+        return self
+
+    # -- groups -------------------------------------------------------------
+    def _groupbit(self, name: str) -> int:
+        if name not in self._groups:
+            self._groups[name] = self._next_groupbit
+            self._next_groupbit <<= 1
+        return self._groups[name]
+
+    def group_region(self, name: str, region: Region):
+        bit = self._groupbit(name)
+        x = self._current_x()
+        sel = region.contains(x)
+        for i in np.nonzero(sel)[0]:
+            self._groupmask[i] |= bit
+        return self
+
+    def group_type(self, name: str, ptype: int):
+        bit = self._groupbit(name)
+        for i, t in enumerate(self._type):
+            if t == ptype - 1:
+                self._groupmask[i] |= bit
+        return self
+
+    def group_expr(self, name: str, members: np.ndarray):
+        """Assign a group from a boolean per-atom mask (group subtract etc.)."""
+        bit = self._groupbit(name)
+        for i in np.nonzero(members)[0]:
+            self._groupmask[i] |= bit
+        return self
+
+    def in_group(self, name: str) -> np.ndarray:
+        bit = self._groups[name]
+        return (np.asarray(self._groupmask) & bit) != 0
+
+    def groupbit(self, name: str) -> int:
+        return self._groups[name]
+
+    # -- per-atom setters (set.cpp:547-613 ssa keywords) ---------------------
+    def _ensure(self, key, default, shape=()):
+        n = len(self._x)
+        if key not in self._per_atom or self._per_atom[key].shape[0] != n:
+            old = self._per_atom.get(key)
+            arr = np.full((n,) + shape, default, dtype=float)
+            if old is not None:
+                arr[: old.shape[0]] = old
+            self._per_atom[key] = arr
+        return self._per_atom[key]
+
+    def set(self, group: str, *, rho=None, e=None, C=None, Cd=None,
+            solid_tag=None, fixed=None):
+        sel = self.in_group(group)
+        if rho is not None:
+            self._ensure("rho", 1.0)[sel] = rho
+        if e is not None:
+            self._ensure("e", 0.0)[sel] = e
+        if C is not None:
+            k, val = C
+            self._ensure("C", 0.0, (self.n_sdpd,))[sel, k] = val
+        if Cd is not None:
+            k, val = Cd
+            self._ensure("Cd", 0.0, (self.n_ssa,))[sel, k] = val
+        if solid_tag is not None:
+            self._ensure("solid_tag", 0.0)[sel] = solid_tag
+            if fixed is not None:
+                self._ensure("fixed_tag", 0.0)[sel] = 1.0 if fixed else 0.0
+        return self
+
+    def velocity(self, group: str, vx=0.0, vy=0.0, vz=0.0):
+        sel = self.in_group(group)
+        v = self._ensure("v", 0.0, (3,))
+        v[sel] = (vx, vy, vz)
+        return self
+
+    def mass(self, ptype: int, m: float):
+        self._masses[ptype - 1] = m
+        return self
+
+    # -- physics ------------------------------------------------------------
+    def pair_style(self, variant: str, **kwargs):
+        self._pair_variant = variant
+        self._pair_kwargs = kwargs
+        return self
+
+    def pair_coeff(self, i: int, j: int, rho0, c0, eta, h, cutc, G0,
+                   kappa=(), kappa_ssa=()):
+        """pair_coeff i j rho0 c0 eta h cutc G0 kappa... kappaSSA...
+        (pair_ssa_tsdpd_bvf_transport_velocity.cpp:967-1026)."""
+        self._coeff[(i - 1, j - 1)] = dict(
+            rho0=rho0, c0=c0, eta=eta, h=h, cutc=cutc, G0=G0,
+            kappa=tuple(kappa), kappa_ssa=tuple(kappa_ssa),
+        )
+        return self
+
+    def integrator(self, variant: str, **kwargs):
+        self._integ = getattr(IntegratorConfig, variant)(**kwargs)
+        return self
+
+    def fix(self, obj):
+        self._fixes.append(obj)
+        return self
+
+    def ssa(self, cfg):
+        self._ssa_cfg = cfg
+        return self
+
+    def timestep(self, dt: float):
+        self._dt = dt
+        return self
+
+    # -- build --------------------------------------------------------------
+    def _build_params(self) -> Params:
+        T = self.ntypes
+        f = np.float32
+        mass = np.zeros(T, f)
+        for t, m in self._masses.items():
+            mass[t] = m
+        rho0 = np.ones(T, f)
+        c0 = np.ones(T, f)
+        G0 = np.zeros(T, f)
+        cut = np.zeros((T, T), f)
+        cutc = np.zeros((T, T), f)
+        visc = np.zeros((T, T), f)
+        kappa = np.zeros((T, T, self.n_sdpd), f)
+        kappa_ssa = np.zeros((T, T, self.n_ssa), f)
+        for (i, j), c in self._coeff.items():
+            rho0[i] = c["rho0"]
+            c0[i] = c["c0"]
+            G0[i] = c["G0"]
+            for a, b in ((i, j), (j, i)):
+                cut[a, b] = c["h"]
+                cutc[a, b] = c["cutc"]
+                visc[a, b] = c["eta"]
+                if self.n_sdpd:
+                    kappa[a, b] = c["kappa"]
+                if self.n_ssa:
+                    kappa_ssa[a, b] = c["kappa_ssa"]
+        return Params(
+            mass=jnp.asarray(mass),
+            rho0=jnp.asarray(rho0),
+            c0=jnp.asarray(c0),
+            B=jnp.asarray(tait_b(c0, rho0)),
+            G0=jnp.asarray(G0),
+            cut=jnp.asarray(cut),
+            cutc=jnp.asarray(cutc),
+            visc=jnp.asarray(visc),
+            kappa=jnp.asarray(kappa),
+            kappa_ssa=jnp.asarray(kappa_ssa),
+        )
+
+    def build(self):
+        """-> (state, params, spec)."""
+        if self._dt is None:
+            raise ValueError("call timestep(dt) before build()")
+        params = self._build_params()
+        cutoff = float(np.max(np.asarray(params.cut)))
+        x = self._current_x()
+        n = x.shape[0]
+
+        # choose cell capacity from the densest initial cell, with slack
+        margin = self.margin_frac * cutoff
+        geom_probe = Geometry.build(
+            self.dim, self.box_lo, self.box_hi, cutoff,
+            cap=1, periodic=self.periodic, margin=margin,
+            multiple_of=(self.ncx_multiple_of, 1, 1),
+        )
+        cell_sz = np.asarray(geom_probe.cell_size)
+        lo = np.asarray(self.box_lo)
+        idx = np.floor((x - lo) / cell_sz).astype(int)
+        nc = np.asarray(geom_probe.ncells)
+        idx = np.clip(idx, 0, nc - 1)
+        flat = (idx[:, 0] * nc[1] + idx[:, 1]) * nc[2] + idx[:, 2]
+        dens = np.bincount(flat).max() if n else 1
+        cap = self.cap or int(np.ceil(dens * 1.3)) + 2
+        geom = dataclasses.replace(geom_probe, cap=cap)
+
+        state = state_from_particles(
+            geom, x, np.asarray(self._type), n_sdpd=self.n_sdpd,
+            n_ssa=self.n_ssa, dtype=self.dtype, seed=self.seed,
+        )
+        if int(state.overflow):
+            raise RuntimeError("initial binning overflow; raise Scene.cap")
+
+        # scatter per-atom fields through the tag permutation
+        order = np.asarray(state.tag).reshape(-1) - 1
+        valid = np.asarray(state.valid).reshape(-1)
+
+        def binned(arr, dtype):
+            out = np.zeros((order.shape[0],) + arr.shape[1:], dtype)
+            out[valid] = arr[order[valid]]
+            return jnp.asarray(out.reshape(state.x.shape[:2] + arr.shape[1:]))
+
+        gm = np.asarray(self._groupmask, np.int32)
+        repl = dict(groupmask=binned(gm, np.int32))
+        pa = self._per_atom
+        if "rho" in pa:
+            rho = binned(pa["rho"].astype(np.float32), np.float32)
+            repl["rho"] = jnp.where(state.valid, rho, 1.0)
+            repl["rhoI"] = repl["rho"]
+        if "e" in pa:
+            repl["e"] = binned(pa["e"].astype(np.float32), np.float32)
+        if "C" in pa:
+            repl["C"] = binned(pa["C"].astype(np.float32), np.float32)
+        if "Cd" in pa:
+            repl["Cd"] = binned(pa["Cd"].astype(np.int32), np.int32)
+        if "solid_tag" in pa:
+            repl["solid_tag"] = binned(pa["solid_tag"].astype(np.int32), np.int32)
+        if "fixed_tag" in pa:
+            repl["fixed_tag"] = binned(pa["fixed_tag"].astype(np.int32), np.int32)
+        if "v" in pa:
+            repl["v"] = binned(pa["v"].astype(np.float32), np.float32)
+        state = dataclasses.replace(state, **repl)
+
+        solids = bool(np.any(pa.get("solid_tag", np.zeros(1)) != 0))
+        elastic = bool(np.any(np.asarray(params.G0) > 0))
+        pair_cfg = getattr(PairConfig, self._pair_variant)(
+            dim=self.dim,
+            solids_present=solids,
+            elastic_present=elastic,
+            **self._pair_kwargs,
+        )
+        integ = self._integ or getattr(
+            IntegratorConfig, self._pair_variant
+        )()
+        spec = ModelSpec(
+            geom=geom,
+            pair=pair_cfg,
+            integ=integ,
+            fixes=tuple(self._fixes),
+            ssa=self._ssa_cfg,
+            rebin_every=self.rebin_every,
+        )
+        return state, params, spec

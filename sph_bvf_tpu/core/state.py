@@ -72,8 +72,14 @@ class Geometry:
         ]
 
     @staticmethod
-    def build(dim, lo, hi, cutoff, cap, periodic=(False, False, False), margin=0.0):
-        """Choose the cell grid for a box: cell_size >= cutoff + margin per axis."""
+    def build(dim, lo, hi, cutoff, cap, periodic=(False, False, False), margin=0.0,
+              multiple_of=(1, 1, 1)):
+        """Choose the cell grid for a box: cell_size >= cutoff + margin per axis.
+
+        ``multiple_of`` rounds the cell count down to a multiple per axis
+        (cells only get larger — always safe) so the grid divides evenly
+        across a device mesh.
+        """
         lo = tuple(float(v) for v in lo)
         hi = tuple(float(v) for v in hi)
         nc, cs = [], []
@@ -84,6 +90,9 @@ class Geometry:
                 continue
             ext = hi[ax] - lo[ax]
             n = max(int(ext / (cutoff + margin)), 1)
+            m = multiple_of[ax]
+            if m > 1:
+                n = max((n // m) * m, m)
             nc.append(n)
             cs.append(ext / n)
         return Geometry(

@@ -1,0 +1,128 @@
+"""The time-stepping loop: one jitted Verlet step, scanned in chunks.
+
+The stage sequence mirrors Verlet::run (verlet.cpp:240-353):
+
+    step++                          (update->ntimestep++)
+    initial_integrate               (Modify::initial_integrate)
+    post_integrate fixes            (forcing / buffer clamps)
+    [rebin between chunks]          (exchange/borders/neighbor->build)
+    compute_forces                  (force_clear + Pair::compute, sweeps 1-3)
+    post_force fixes                (buoyancy, chem_rxn, ssa_rxn, setforce)
+    final_integrate                 (BVF bounce-back, kicks, density filter)
+    SSA reactions + diffusion       (the Gillespie blocks; see core/ssa.py)
+    end_of_step fixes               (dt/adaptive, buffer rho blend)
+
+Because pair kernels re-test the true cutoff against fresh positions every
+step, rebinning every ``rebin_every`` steps with a drift margin on the cell
+size is *exact* (the reference's skin heuristic can miss pairs; see
+core/state.py).  The whole chunk — rebin + ``rebin_every`` steps — is one
+jit-compiled function; host callbacks (thermo/dump) run only at chunk
+boundaries, the analog of output->write (verlet.cpp:349-352).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sph_bvf_tpu.core import fixes as fixes_mod
+from sph_bvf_tpu.core.integrate import (
+    IntegratorConfig,
+    final_integrate,
+    initial_integrate,
+    setup_pre_force,
+)
+from sph_bvf_tpu.core.state import Geometry, Params, State, rebin
+from sph_bvf_tpu.ops.pair import PairConfig, compute_forces
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static description of a simulation (hashable; closed over jit)."""
+
+    geom: Geometry
+    pair: PairConfig
+    integ: IntegratorConfig
+    fixes: Tuple[Any, ...] = ()
+    ssa: Optional[Any] = None  # SsaConfig (core/ssa.py), if stochastic species
+    rebin_every: int = 10
+
+
+def step(state: State, params: Params, spec: ModelSpec) -> State:
+    """One full Verlet step (verlet.cpp:240-353 stage order)."""
+    state = dataclasses.replace(state, step=state.step + 1)
+    state = initial_integrate(state, params, spec.integ)
+    state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_INTEGRATE)
+    state = compute_forces(state, params, spec.geom, spec.pair)
+    state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_FORCE)
+    state = final_integrate(state, params, spec.integ)
+    if spec.ssa is not None:
+        from sph_bvf_tpu.core.ssa import ssa_step
+
+        state = ssa_step(state, params, spec.geom, spec.ssa)
+    state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.END_OF_STEP)
+    return state
+
+
+def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
+    """Verlet::setup (verlet.cpp:88-153): bin, vest=v, initial force eval."""
+    state = dataclasses.replace(
+        state, dt=jnp.asarray(dt, state.x.dtype)
+    )
+    state = rebin(state, spec.geom)
+    state = setup_pre_force(state)
+    state = compute_forces(state, params, spec.geom, spec.pair)
+    # Modify::setup invokes post_force-style hooks (e.g. buoyancy/setforce
+    # seed the step-0 forces, fix_ssa_tsdpd_buoyancy.cpp:97-99).
+    state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_FORCE)
+    return state
+
+
+@partial(jax.jit, static_argnames=("spec", "n"))
+def run_chunk(state: State, params: Params, spec: ModelSpec, n: int) -> State:
+    """rebin + n steps, fused into one compiled program."""
+    state = rebin(state, spec.geom)
+
+    def body(s, _):
+        return step(s, params, spec), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+def simulate(
+    state: State,
+    params: Params,
+    spec: ModelSpec,
+    nsteps: int,
+    callback=None,
+    callback_every: Optional[int] = None,
+):
+    """Host driver: run nsteps, invoking ``callback(state)`` periodically.
+
+    ``callback_every`` defaults to one chunk.  The callback sees the state at
+    chunk granularity (dump/thermo cadence should be a multiple of
+    rebin_every for exact-step output).
+    """
+    chunk = spec.rebin_every
+    cb_every = callback_every or chunk
+    if cb_every % chunk:
+        raise ValueError("callback_every must be a multiple of rebin_every")
+    done = 0
+    while done < nsteps:
+        n = min(chunk, nsteps - done)
+        state = run_chunk(state, params, spec, n)
+        done += n
+        if callback is not None and (done % cb_every == 0 or done >= nsteps):
+            callback(state)
+        if done % (100 * chunk) == 0:
+            overflow = int(state.overflow)
+            if overflow:
+                raise RuntimeError(
+                    f"{overflow} particles exceeded cell capacity (lost atoms)"
+                )
+    return state

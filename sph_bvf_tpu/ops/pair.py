@@ -1,0 +1,568 @@
+"""SPH-BVF pair physics: the hot loop.
+
+Re-derivation of the three reference pair styles
+(`pair_ssa_tsdpd_bvf_{transport_velocity,mechanics,fsi}.cpp`) as fused,
+full-neighbor (newton-off) reductions over the cell-slot layout:
+
+ * The reference walks half neighbor lists and mirrors every term onto j
+   (``newton_pair || j < nlocal`` blocks).  Each mirrored term is exactly the
+   i-side term of the reversed pair, so a full-neighbor evaluation — every
+   particle reducing over all its neighbor candidates — produces identical
+   sums with no scatter-adds.  The reference's own FSI style already runs
+   full lists (pair_ssa_tsdpd_bvf_fsi.cpp:72-77) with the mirror blocks
+   deleted, confirming the equivalence.
+ * The reference's sweeps 1 and 2 have no data dependence (sweep-1 outputs
+   number_density/rhoAux/ddv/ddx are consumed only by the integrator), so
+   they are fused into one pass here.  Sweep 3 reads the forces produced by
+   sweep 2 (a_weighted_solid needs f) and stays a second pass.
+ * Branchy per-pair physics (fluid/solid x free/fixed) becomes arithmetic
+   masking; every pair term is linear in a kernel weight, so masking the
+   weights (validity, self-exclusion; the r >= h case is already an exact
+   zero of the Lucy kernel) masks everything downstream with no NaN hazards.
+
+Known deliberate deviation: the reference adds the *i-perspective* pair
+energy `deltaE` to both i and j (pair...transport_velocity.cpp:558,658) even
+when the Sun-2018 pressure switch has flipped fpair's sign for the j side;
+the full-neighbor evaluation gives each side its own perspective.  `de` is
+accumulated but never integrated by any shipped fix (all ``e[i] += dtf*de``
+lines are commented out, e.g. fix_ssa_tsdpd_bvf.cpp:209), so fields are
+unaffected.
+
+Everything here is shape-static and jit/shard-transparent: neighbor access
+is `shift_cells` (static slabs -> ICI collective-permutes under sharding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sph_bvf_tpu.ops import rand
+from sph_bvf_tpu.ops.kernels import lucy_w, lucy_wfd
+from sph_bvf_tpu.ops.eos import tait_pressure
+from sph_bvf_tpu.core.state import Geometry, Params, State, shift_cells
+
+TRANSPORT_VELOCITY = "transport_velocity"
+MECHANICS = "mechanics"
+FSI = "fsi"
+
+
+@dataclasses.dataclass(frozen=True)
+class PairConfig:
+    """Static physics-variant switches (resolved at trace time).
+
+    Defaults reproduce `pair_style ssa_tsdpd/bvf/transportVelocity`; the
+    factory methods give the mechanics / fsi variants (diffs documented per
+    field with reference citations).
+    """
+
+    variant: str = TRANSPORT_VELOCITY
+    dim: int = 2
+    # SDPD thermal-fluctuation random force (pair...transport_velocity.cpp:406-431).
+    # Off by default: every shipped example runs e=0, which zeroes it anyway.
+    thermal: bool = False
+    # Sun-2018 pressure switch (tv: pair...transport_velocity.cpp:396-399;
+    # mechanics/fsi use the plain symmetric Zhang force, pair...mechanics.cpp:408).
+    pressure_switch: bool = True
+    # XSPH accumulator ddx (mechanics/fsi only, pair...mechanics.cpp:249-253).
+    xsph: bool = False
+    # Artificial-stress amplitude: 0.35 (tv/mechanics) vs 0.1 (fsi)
+    # (pair...transport_velocity.cpp:458, pair...fsi.cpp:455).
+    art_stress_coef: float = 0.35
+    # mechanics subtracts |P| in the total-stress test (pair...mechanics.cpp:471).
+    art_stress_abs_p: bool = False
+    # wdelta reference distance: h/2.6 (tv, :316) vs h/3 (mechanics/fsi, :333).
+    wdelta_ratio: float = 2.6
+    # density-diffusion damping amplitude: 0 (tv/mechanics) vs 0.1 (fsi, :535).
+    # The reference gates it on tnow <= tdamp with tdamp = the whole run, so
+    # it is a constant during a run.
+    ampl_damp: float = 0.0
+    # chemo-mechanical softening G0_eff = G0 (1 - 0.99 C[:,0]) (fsi, :441-445).
+    g0_chem_coupling: bool = False
+    # species advection-correction flux term (tv only, :714-715).
+    species_advection: bool = True
+    # store per-particle pressure into Pnew (mechanics/fsi, :188).
+    store_pnew: bool = False
+    # sweep-3 weighted-solid sums skip fixed solids (mechanics/fsi, :893-909).
+    weighted_solid_skip_fixed: bool = False
+    # static model hints (skip dead code paths entirely)
+    solids_present: bool = True
+    elastic_present: bool = True
+    rng_seed: int = 0
+
+    @staticmethod
+    def transport_velocity(dim=2, **kw):
+        return PairConfig(variant=TRANSPORT_VELOCITY, dim=dim, **kw)
+
+    @staticmethod
+    def mechanics(dim=2, **kw):
+        return PairConfig(
+            variant=MECHANICS,
+            dim=dim,
+            pressure_switch=False,
+            xsph=True,
+            art_stress_abs_p=True,
+            wdelta_ratio=3.0,
+            species_advection=False,
+            store_pnew=True,
+            weighted_solid_skip_fixed=True,
+            **kw,
+        )
+
+    @staticmethod
+    def fsi(dim=2, **kw):
+        return PairConfig(
+            variant=FSI,
+            dim=dim,
+            pressure_switch=False,
+            xsph=True,
+            art_stress_coef=0.1,
+            wdelta_ratio=3.0,
+            ampl_damp=0.1,
+            g0_chem_coupling=True,
+            species_advection=False,
+            store_pnew=True,
+            weighted_solid_skip_fixed=True,
+            **kw,
+        )
+
+
+# ---------------------------------------------------------------------------
+# per-particle precomputation
+# ---------------------------------------------------------------------------
+
+
+def _per_particle(state: State, params: Params, cfg: PairConfig):
+    """Fields every pair term needs, computed once per particle."""
+    t = state.ptype
+    m = params.mass[t]
+    B = params.B[t]
+    rho0 = params.rho0[t]
+    c0 = params.c0[t]
+    G0 = params.G0[t]
+    if cfg.g0_chem_coupling and state.C.shape[-1] > 0:
+        G0 = G0 * (1.0 - 0.99 * state.C[..., 0])
+    P = tait_pressure(state.rho, rho0, B)
+    V2 = (m / state.rho) ** 2
+    solid = state.solid_tag == 1
+    fluid = ~solid
+
+    # Monaghan artificial stress tensor (per particle; the reference computes
+    # it redundantly inside the pair loop from purely per-particle state,
+    # pair...transport_velocity.cpp:453-483).
+    p_for_as = jnp.abs(P) if cfg.art_stress_abs_p else P
+    eye = jnp.eye(3, dtype=state.S.dtype)
+    total = state.S - p_for_as[..., None, None] * eye
+    AS_solid = jnp.where(
+        total > 0.0,
+        -cfg.art_stress_coef * total / (state.rho**2)[..., None, None],
+        0.0,
+    )
+    AS = jnp.where(solid[..., None, None], AS_solid, 0.0)
+
+    return dict(
+        valid=state.valid,
+        x=state.x,
+        v=state.v,  # transport velocity (reference atom->v, aliased vt in pair)
+        vest=state.vest,  # momentum velocity (reference atom->vest, aliased v)
+        rho=state.rho,
+        rhoI=state.rhoI,
+        e=state.e,
+        C=state.C,
+        S=state.S,
+        tag=state.tag,
+        ptype=t,
+        solid=solid,
+        fluid=fluid,
+        fixed=state.fixed_tag == 1,
+        m=m,
+        B=B,
+        c0=c0,
+        G0=G0,
+        P=P,
+        V2=V2,
+        AS=AS,
+    )
+
+
+def _bc(a, side):
+    """Broadcast a per-particle field [NC, cap, ...] to pair shape.
+
+    side "i": [NC, cap, 1, ...];  side "j": [NC, 1, cap, ...].
+    """
+    return a[:, :, None] if side == "i" else a[:, None, :]
+
+
+def _dot3(a, b):
+    return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# pass A: fused sweeps 1 + 2 (+ species transport)
+# ---------------------------------------------------------------------------
+
+
+def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc):
+    """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``."""
+    f32 = I["x"].dtype
+    dim = cfg.dim
+
+    ti, tj = I["ptype"], J["ptype"]
+    T = params.ntypes
+    tp = ti * T + tj  # flattened type-pair index [NC, ci, cj]
+    h = params.cut.reshape(-1)[tp]
+
+    dx = I["x"] - J["x"]  # [NC, ci, cj, 3]
+    rsq = _dot3(dx, dx)
+    r = jnp.sqrt(rsq)
+
+    mask = (I["valid"] & J["valid"] & notself).astype(f32)
+    wfd = lucy_wfd(r, h, dim) * mask
+    wf = lucy_w(r, h, dim) * mask
+    wfBvf = wf  # identical expression in the reference (:212-213)
+
+    # ghost cells beyond open boundaries are zero-padded by shift_cells;
+    # sanitize every j-side denominator so masked terms stay finite
+    # (inf * 0 would poison the reductions).
+    validj = J["valid"]
+    mi = I["m"]
+    mj = jnp.where(validj, J["m"], 1.0)
+    rhoi = I["rho"]
+    rhoj = jnp.where(validj, J["rho"], 1.0)
+    Vi2, Vj2 = I["V2"], J["V2"]
+    Pi, Pj = I["P"], J["P"]
+    solid_i, solid_j = I["solid"], J["solid"]
+
+    # ---- sweep 1 ----------------------------------------------------------
+    acc["num_den"] += jnp.sum(Vj2 * wfBvf, axis=2)
+    acc["rhoAux1"] += jnp.sum(J["rhoI"] * wfBvf, axis=2)
+    acc["rhoAux2"] += jnp.sum(wfBvf, axis=2)
+    # background-pressure velocity correction, Adami 2013 (:252-254);
+    # wfd2 == wfd because hRatio is hardcoded 1.0 (:186,:214).
+    ddv_coef = 10.0 * 7.0 * I["B"] * (Vi2 + Vj2) * wfd
+    acc["ddv"] += jnp.sum(ddv_coef[..., None] * dx, axis=2)
+    if cfg.xsph:
+        dvest_ji = J["vest"] - I["vest"]
+        acc["ddx"] += jnp.sum((Vj2 * wf)[..., None] * dvest_ji, axis=2)
+
+    # ---- sweep 2 ----------------------------------------------------------
+    velvec = I["vest"] - J["vest"]  # momentum-velocity difference
+    delVdotDelR = _dot3(dx, velvec)
+
+    # transport tensor force (:370-377): ft[m] = (Vi2+Vj2) wfd sum_n T[m,n] dx[n]
+    # with T[m,n] = 0.5 (rho_i vest_i[m] (v_i[n]-vest_i[n]) + rho_j ...).
+    a_i = rhoi[..., None] * I["vest"]  # [.., 3] (index m)
+    b_i = I["v"] - I["vest"]  # (index n)
+    a_j = rhoj[..., None] * J["vest"]
+    b_j = J["v"] - J["vest"]
+    tdotx = 0.5 * (
+        a_i * _dot3(b_i, dx)[..., None] + a_j * _dot3(b_j, dx)[..., None]
+    )
+    ftransport = ((Vi2 + Vj2) * wfd)[..., None] * tdotx
+
+    # inter-particle viscosity, Adami 2013 (:387)
+    eta = params.visc.reshape(-1)[tp]
+    fvisc = (Vi2 + Vj2) * eta * wfd
+
+    # pressure force, Zhang 2017 (+ Sun 2018 switch in the tv variant, :395-399)
+    fi_term = Pi / (rhoi * rhoi)
+    fj_term = Pj / (rhoj * rhoj)
+    pij = fj_term + fi_term
+    if cfg.pressure_switch:
+        sgn = jnp.where((pij >= 0.0) | (solid_i & solid_j), 1.0, -1.0)
+        fpair = mi * mj * (fj_term + sgn * fi_term) * wfd
+    else:
+        fpair = mi * mj * pij * wfd
+
+    # SDPD thermal random force (:406-431)
+    if cfg.thermal:
+        f_random = _thermal_force(I, J, dx, r, h, wfd, params, cfg, dt, step)
+    else:
+        f_random = 0.0
+
+    # artificial-stress force (:486-494): fa[m] = mi mj wfd (wf/wdelta)^4
+    #   * sum_k dx[k] (AS_i[k,m] + AS_j[k,m])
+    if cfg.solids_present:
+        wdelta = lucy_w(h / cfg.wdelta_ratio, h, dim)
+        AS_sum = I["AS"] + J["AS"]  # [NC, ci, cj, 3, 3]
+        xdotAS = jnp.einsum("...k,...km->...m", dx, AS_sum)
+        f_art = (mi * mj * wfd * (wf / wdelta) ** 4)[..., None] * xdotAS
+    else:
+        f_art = 0.0
+
+    # fluid-branch force (:497-501)
+    f_fluid = (
+        (-fpair)[..., None] * dx + fvisc[..., None] * velvec + ftransport + f_art
+    )
+    if cfg.thermal:
+        f_fluid = f_fluid + f_random
+
+    if cfg.solids_present:
+        # solid-branch force (:504-529)
+        if cfg.elastic_present:
+            Ssum = (
+                I["S"] / (rhoi * rhoi)[..., None, None]
+                + J["S"] / (rhoj * rhoj)[..., None, None]
+            )
+            xdotDev = jnp.einsum("...k,...km->...m", dx, Ssum)
+            f_dev = (mi * mj * wfd)[..., None] * xdotDev
+        else:
+            f_dev = 0.0
+        # Pereira 2017 artificial viscosity for solids (:516-522)
+        mu = h * delVdotDelR / (rsq + 0.01 * h * h)
+        fviscs = jnp.where(
+            delVdotDelR < 0.0,
+            mi * mj * wfd * (-(I["c0"] + J["c0"]) * mu + 2.0 * mu * mu)
+            / (rhoi + rhoj),
+            0.0,
+        )
+        f_solid = (-fpair - fviscs)[..., None] * dx + f_dev + f_art
+        fsum = jnp.where(solid_i[..., None], f_solid, f_fluid)
+    else:
+        fsum = f_fluid
+    acc["f"] += jnp.sum(fsum, axis=2)
+
+    # Jaumann deviatoric stress rate (:433-451)
+    if cfg.elastic_present:
+        dvest = -velvec  # vest_j - vest_i
+        # strain/rotation: 0.5 (mj/rhoj) wfd (dvest[m] dx[n] +/- dvest[n] dx[m])
+        pref = (0.5 * (mj / rhoj) * wfd)[..., None, None]
+        outer = dvest[..., :, None] * dx[..., None, :]
+        strain = pref * (outer + jnp.swapaxes(outer, -1, -2))
+        rot = pref * (outer - jnp.swapaxes(outer, -1, -2))
+        geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
+        eye = jnp.eye(3, dtype=f32)
+        elastic = (2.0 * geff)[..., None, None] * (strain * (1.0 - eye / 3.0))
+        # S_i[m,k] rot[n,k] + rot[m,k] S_i[k,n]
+        Si = jnp.broadcast_to(I["S"], rot.shape)
+        sdr = jnp.einsum("...mk,...nk->...mn", Si, rot)
+        rds = jnp.einsum("...mk,...kn->...mn", rot, Si)
+        dS_pair = jnp.where(
+            solid_i[..., None, None], elastic + sdr + rds, 0.0
+        )
+        acc["dS"] += jnp.sum(dS_pair, axis=2)
+
+    # density evolution, "new density formulation" (:547-555)
+    dvt = I["v"] - J["v"]  # transport-velocity difference
+    delVtdotDelR = _dot3(dx, dvt)
+    corr_i = rhoi * _dot3(I["vest"] - I["v"], dx)
+    corr_j = rhoj * _dot3(J["vest"] - J["v"], dx)
+    drho = rhoi * mj * delVtdotDelR * wfd / rhoj
+    if cfg.ampl_damp != 0.0:
+        drho = drho - (
+            cfg.ampl_damp
+            * h
+            * rhoi
+            * I["c0"]
+            * mj
+            * 2.0
+            * (rhoj / rhoi - 1.0)
+            * (rsq / (rsq + 0.01 * h * h))
+            * wfd
+            / rhoj
+        )
+    drho = drho - (mj / rhoj) * (corr_i + corr_j) * wfd
+    acc["drho"] += jnp.sum(drho, axis=2)
+
+    # energy accumulation (:557-559)
+    acc["de"] += jnp.sum(
+        -0.5 * (fpair * delVdotDelR + fvisc * _dot3(velvec, velvec)), axis=2
+    )
+
+    # BVF volume fraction and wall normal (:562-576)
+    if cfg.solids_present:
+        fs = (I["fluid"] & solid_j).astype(f32)
+        acc["phi"] += jnp.sum(fs * Vj2 * wfBvf, axis=2)
+        acc["nw"] += jnp.sum((fs * wfd * Vj2)[..., None] * dx, axis=2)
+
+    # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
+    if I["C"].shape[-1] > 0:
+        hc = params.cutc.reshape(-1)[tp]
+        wfd_c = lucy_wfd(r, hc, dim) * mask
+        dQc_base = (
+            2.0
+            * (mi * mj / (mi + mj))
+            * ((rhoi + rhoj) / (rhoi * rhoj))
+            * rsq
+            * wfd_c
+            / (rsq + 0.01 * hc * hc)
+        )
+        kap = params.kappa.reshape(-1, params.n_sdpd)[tp]  # [NC,ci,cj,Ns]
+        dQ = kap * (I["C"] - J["C"]) * dQc_base[..., None]
+        if cfg.species_advection:
+            # advection correction (tv only, :714-715):
+            # -(mj/rhoj) (C_i (vest_i-v_i).dx + C_j (vest_j-v_j).dx) wfd_c
+            corr_ip = _dot3(I["vest"] - I["v"], dx)
+            corr_jp = _dot3(J["vest"] - J["v"], dx)
+            dQ = dQ - ((mj / rhoj) * wfd_c)[..., None] * (
+                I["C"] * corr_ip[..., None] + J["C"] * corr_jp[..., None]
+            )
+        acc["Q"] += jnp.sum(dQ, axis=2)
+
+    return acc
+
+
+def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, step):
+    """SDPD random force (pair...transport_velocity.cpp:406-431).
+
+    Wiener increment: symmetric dim x dim gaussian matrix, then traceless;
+    prefactor sqrt(-4 kB e_i mi mj wfd / (rho_i rho_j dt)) / (r + 0.01 h).
+    Noise is pair-symmetric via counter-based hashing (see ops/rand.py).
+    """
+    dim = cfg.dim
+    # build symmetric wiener matrix entries for the upper triangle
+    W = [[None] * 3 for _ in range(3)]
+    salt = 0
+    for a in range(dim):
+        for b in range(a, dim):
+            g = rand.pair_symmetric_normal(
+                cfg.rng_seed, step, I["tag"], J["tag"], salt
+            )
+            W[a][b] = g
+            W[b][a] = g
+            salt += 1
+    # reference symmetrizes off-diagonals by averaging two draws; a single
+    # shared draw has the same distribution (documented deviation).
+    trace = sum(W[a][a] for a in range(dim)) / dim
+    for a in range(dim):
+        W[a][a] = W[a][a] - trace
+    pref = jnp.sqrt(
+        jnp.maximum(
+            -4.0
+            * params.boltz
+            * I["e"]
+            * (I["m"] * J["m"] * wfd / (I["rho"] * J["rho"]))
+            / dt,
+            0.0,
+        )
+    ) / (r + 0.01 * h)
+    comps = []
+    for l in range(3):
+        if l < dim:
+            s = sum(W[l][k] * dx[..., k] for k in range(dim))
+            comps.append(pref * s)
+        else:
+            comps.append(jnp.zeros_like(r))
+    return jnp.stack(comps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# pass B: sweep 3 (weighted solid velocity/acceleration near fluids)
+# ---------------------------------------------------------------------------
+
+
+def _pass_b_offset(I, J, cfg: PairConfig, params: Params, notself, acc):
+    f32 = I["x"].dtype
+    ti, tj = I["ptype"], J["ptype"]
+    h = params.cut.reshape(-1)[ti * params.ntypes + tj]
+    dx = I["x"] - J["x"]
+    r = jnp.sqrt(_dot3(dx, dx))
+    mask = (I["valid"] & J["valid"] & notself).astype(f32)
+    wfBvf = lucy_w(r, h, cfg.dim) * mask
+
+    sel = I["fluid"] & J["solid"]
+    if cfg.weighted_solid_skip_fixed:
+        sel = sel & ~J["fixed"]
+    w = sel.astype(f32) * wfBvf * J["V2"]
+    mj = jnp.where(J["valid"], J["m"], 1.0)  # zero-padded ghosts (see pass A)
+    acc["vws"] += jnp.sum(w[..., None] * J["vest"], axis=2)
+    acc["aws"] += jnp.sum(w[..., None] * (J["f"] / mj[..., None]), axis=2)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _pass_a_j_fields(params: Params, cfg: PairConfig):
+    fields = "valid x v vest rho rhoI ptype solid m c0 P V2".split()
+    if cfg.solids_present:
+        fields.append("AS")
+    if cfg.elastic_present:
+        fields += ["S", "G0"]
+    if params.n_sdpd > 0:
+        fields.append("C")
+    if cfg.thermal:
+        fields.append("tag")
+    return fields
+
+
+_PASS_B_J_FIELDS = "valid x vest ptype solid fluid fixed m V2 f".split()
+
+
+def compute_forces(
+    state: State, params: Params, geom: Geometry, cfg: PairConfig
+) -> State:
+    """Full force evaluation; returns the state with all accumulators replaced.
+
+    Equivalent of `PairSsaTsdpd*::compute` plus the preceding `force_clear`
+    (atom_vec_ssa_tsdpd_atomic.cpp:391-424, verlet.cpp:370).
+    """
+    NC, cap = geom.ncells_total, geom.cap
+    f32 = state.x.dtype
+    pf = _per_particle(state, params, cfg)
+    I = {k: _bc(v, "i") for k, v in pf.items()}
+
+    # self-pair exclusion for the zero offset ([1, cap, cap])
+    not_diag = ~(jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :])[None]
+
+    def zeros(*extra):
+        return jnp.zeros((NC, cap) + extra, f32)
+
+    acc = dict(
+        num_den=zeros(),
+        rhoAux1=zeros(),
+        rhoAux2=zeros(),
+        ddv=zeros(3),
+        ddx=zeros(3),
+        f=zeros(3),
+        dS=zeros(3, 3),
+        drho=zeros(),
+        de=zeros(),
+        phi=zeros(),
+        nw=zeros(3),
+        Q=jnp.zeros((NC, cap, params.n_sdpd), f32),
+    )
+
+    ja_fields = _pass_a_j_fields(params, cfg)
+    for off in geom.stencil_offsets():
+        J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
+        notself = not_diag if off == (0, 0, 0) else True
+        acc = _pass_a_offset(I, J, params, cfg, state.dt, state.step, notself, acc)
+
+    # ---- pass B needs the fresh forces ------------------------------------
+    pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "f"}
+    pf_b["f"] = acc["f"]
+    pf_b["fluid"] = pf["fluid"]
+    I_b = {k: _bc(v, "i") for k, v in pf_b.items()}
+    acc_b = dict(vws=zeros(3), aws=zeros(3))
+    if cfg.solids_present:
+        for off in geom.stencil_offsets():
+            J = {
+                k: _bc(shift_cells(pf_b[k], off, geom), "j")
+                for k in _PASS_B_J_FIELDS
+            }
+            notself = not_diag if off == (0, 0, 0) else True
+            acc_b = _pass_b_offset(I_b, J, cfg, params, notself, acc_b)
+
+    return dataclasses.replace(
+        state,
+        f=acc["f"],
+        drho=acc["drho"],
+        de=acc["de"],
+        Q=acc["Q"],
+        ddv=acc["ddv"],
+        ddx=acc["ddx"],
+        dS=acc["dS"],
+        phi=acc["phi"],
+        num_den=jnp.where(state.valid, acc["num_den"], 1.0),
+        nw=acc["nw"],
+        vws=acc_b["vws"],
+        aws=acc_b["aws"],
+        rhoAux1=acc["rhoAux1"],
+        rhoAux2=jnp.where(state.valid, acc["rhoAux2"], 1.0),
+        Pnew=pf["P"] if cfg.store_pnew else state.Pnew,
+    )

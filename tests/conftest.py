@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# f64 on CPU so physics tests can compare against exact references; the
+# production path stays f32 (dtype follows the state arrays).
+jax.config.update("jax_enable_x64", True)
