@@ -393,18 +393,18 @@ def state_from_particles(
     if n > M:
         raise ValueError(f"{n} particles exceed slot capacity {M}")
 
-    def put(field, valsrc, dtype_):
-        flat = np.zeros((M,) + field.shape[2:], dtype_)
+    def put(field, valsrc):
+        flat = np.zeros((M,) + field.shape[2:], np.dtype(field.dtype))
         flat[:n] = valsrc
         return jnp.asarray(flat).reshape(field.shape)
 
     st = dataclasses.replace(
         st,
-        x=put(st.x, x, np.float32),
-        tag=put(st.tag, np.arange(1, n + 1, dtype=np.int32), np.int32),
-        ptype=put(st.ptype, ptype.astype(np.int32), np.int32),
-        valid=put(st.valid, np.ones(n, bool), bool),
-        groupmask=put(st.groupmask, np.full(n, GROUP_ALL, np.int32), np.int32),
+        x=put(st.x, x),
+        tag=put(st.tag, np.arange(1, n + 1, dtype=np.int32)),
+        ptype=put(st.ptype, ptype.astype(np.int32)),
+        valid=put(st.valid, np.ones(n, bool)),
+        groupmask=put(st.groupmask, np.full(n, GROUP_ALL, np.int32)),
     )
     st = rebin(st, geom)
     return st

@@ -92,6 +92,8 @@ class PairConfig:
     solids_present: bool = True
     elastic_present: bool = True
     rng_seed: int = 0
+    # truncation order of the per-pair hop-count Poisson (core/ssa.py)
+    ssa_poisson_terms: int = 6
 
     @staticmethod
     def transport_velocity(dim=2, **kw):
@@ -172,6 +174,7 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
         rhoI=state.rhoI,
         e=state.e,
         C=state.C,
+        Cd=state.Cd,
         S=state.S,
         tag=state.tag,
         ptype=t,
@@ -379,7 +382,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
         acc["nw"] += jnp.sum((fs * wfd * Vj2)[..., None] * dx, axis=2)
 
     # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
-    if I["C"].shape[-1] > 0:
+    if params.n_sdpd > 0 or params.n_ssa > 0:
         hc = params.cutc.reshape(-1)[tp]
         wfd_c = lucy_wfd(r, hc, dim) * mask
         dQc_base = (
@@ -390,6 +393,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             * wfd_c
             / (rsq + 0.01 * hc * hc)
         )
+    if params.n_sdpd > 0:
         kap = params.kappa.reshape(-1, params.n_sdpd)[tp]  # [NC,ci,cj,Ns]
         dQ = kap * (I["C"] - J["C"]) * dQc_base[..., None]
         if cfg.species_advection:
@@ -401,6 +405,24 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
                 I["C"] * corr_ip[..., None] + J["C"] * corr_jp[..., None]
             )
         acc["Q"] += jnp.sum(dQ, axis=2)
+
+    # stochastic diffusion hops (core/ssa.py; reference fills the D-matrix
+    # here and runs a serial Gillespie afterwards, :721-809)
+    if params.n_ssa > 0:
+        from sph_bvf_tpu.core.ssa import pair_hop_counts
+
+        kss = params.kappa_ssa.reshape(-1, params.n_ssa)[tp]  # [NC,ci,cj,S]
+        lam = kss * (-dQc_base)[..., None] * dt  # per-molecule hop prob rate
+        sp = jnp.arange(params.n_ssa, dtype=jnp.uint32)
+        n_out = pair_hop_counts(
+            lam * I["Cd"].astype(f32), cfg.rng_seed, step,
+            I["tag"], J["tag"], sp, cfg.ssa_poisson_terms,
+        )
+        n_in = pair_hop_counts(
+            lam * J["Cd"].astype(f32), cfg.rng_seed, step,
+            J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
+        )
+        acc["Qd"] += jnp.sum(n_in - n_out, axis=2)
 
     return acc
 
@@ -485,8 +507,10 @@ def _pass_a_j_fields(params: Params, cfg: PairConfig):
         fields += ["S", "G0"]
     if params.n_sdpd > 0:
         fields.append("C")
-    if cfg.thermal:
+    if cfg.thermal and "tag" not in fields:
         fields.append("tag")
+    if params.n_ssa > 0:
+        fields += [f for f in ("Cd", "tag") if f not in fields]
     return fields
 
 
@@ -525,6 +549,7 @@ def compute_forces(
         phi=zeros(),
         nw=zeros(3),
         Q=jnp.zeros((NC, cap, params.n_sdpd), f32),
+        Qd=jnp.zeros((NC, cap, params.n_ssa), jnp.int32),
     )
 
     ja_fields = _pass_a_j_fields(params, cfg)
@@ -554,6 +579,7 @@ def compute_forces(
         drho=acc["drho"],
         de=acc["de"],
         Q=acc["Q"],
+        Qd=acc["Qd"],
         ddv=acc["ddv"],
         ddx=acc["ddx"],
         dS=acc["dS"],
