@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-import jax with an accelerator plugin registered
+# (sitecustomize) before this conftest runs, in which case the env var above
+# is too late; the config update below wins regardless of import order.
+jax.config.update("jax_platforms", "cpu")
+
 # f64 on CPU so physics tests can compare against exact references; the
 # production path stays f32 (dtype follows the state arrays).
 jax.config.update("jax_enable_x64", True)
