@@ -375,6 +375,25 @@ class Scene:
         """-> (state, params, spec)."""
         if self._dt is None:
             raise ValueError("call timestep(dt) before build()")
+        # Scene assembly is eager host work: run it op-by-op on the CPU
+        # backend (dispatching thousands of tiny ops to a remote accelerator
+        # is pathologically slow), then ship the finished arrays over once.
+        from sph_bvf_tpu.core.state import host_cpu_device, to_default_device
+        import jax
+
+        cpu = host_cpu_device()
+        if (
+            cpu is not None
+            and jax.default_backend() != "cpu"
+            and not getattr(self, "_building_on_cpu", False)
+        ):
+            self._building_on_cpu = True
+            try:
+                with jax.default_device(cpu):
+                    state, params, spec = self.build()
+            finally:
+                self._building_on_cpu = False
+            return to_default_device(state), to_default_device(params), spec
         params = self._build_params()
         cutoff = float(np.max(np.asarray(params.cut)))
         x = self._current_x()

@@ -374,6 +374,24 @@ def shift_cells(a, offset, geom: Geometry):
 # Host-side construction from flat particle arrays
 # ---------------------------------------------------------------------------
 
+def host_cpu_device():
+    """The host CPU device, for eager scene-building work.
+
+    Eager op-by-op dispatch to an accelerator (especially a remote/tunneled
+    one) is orders of magnitude slower than host numpy; scene construction
+    runs on CPU and the finished state ships to the default device once.
+    """
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def to_default_device(tree):
+    """Materialize every leaf on the default device (uncommitted)."""
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), tree)
+
+
 def state_from_particles(
     geom: Geometry,
     x: np.ndarray,
@@ -382,8 +400,17 @@ def state_from_particles(
     n_ssa: int = 0,
     dtype=jnp.float32,
     seed: int = 0,
+    _on_cpu: bool = False,
 ) -> State:
     """Build a binned State from flat host arrays (the scene-builder path)."""
+    cpu = host_cpu_device()
+    if cpu is not None and jax.default_backend() != "cpu" and not _on_cpu:
+        with jax.default_device(cpu):
+            st = state_from_particles(
+                geom, x, ptype, n_sdpd=n_sdpd, n_ssa=n_ssa, dtype=dtype,
+                seed=seed, _on_cpu=True,
+            )
+        return to_default_device(st)
     n = x.shape[0]
     if x.shape[1] == 2:
         x = np.concatenate([x, np.zeros((n, 1))], axis=1)

@@ -68,11 +68,8 @@ def step(state: State, params: Params, spec: ModelSpec) -> State:
     return state
 
 
-def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
-    """Verlet::setup (verlet.cpp:88-153): bin, vest=v, initial force eval."""
-    state = dataclasses.replace(
-        state, dt=jnp.asarray(dt, state.x.dtype)
-    )
+@partial(jax.jit, static_argnames=("spec",))
+def _setup_jit(state: State, params: Params, spec: ModelSpec) -> State:
     state = rebin(state, spec.geom)
     state = setup_pre_force(state)
     state = compute_forces(state, params, spec.geom, spec.pair)
@@ -80,6 +77,12 @@ def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
     # seed the step-0 forces, fix_ssa_tsdpd_buoyancy.cpp:97-99).
     state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_FORCE)
     return state
+
+
+def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
+    """Verlet::setup (verlet.cpp:88-153): bin, vest=v, initial force eval."""
+    state = dataclasses.replace(state, dt=jnp.asarray(dt, state.x.dtype))
+    return _setup_jit(state, params, spec)
 
 
 @partial(jax.jit, static_argnames=("spec", "n"))
