@@ -19,9 +19,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from sph_bvf_tpu.core.stepper import run_chunk, setup  # noqa: E402
 from sph_bvf_tpu.models import lid_cavity  # noqa: E402
+
+
+def _barrier(state) -> float:
+    """Force completion via a device->host readback.
+
+    jax.block_until_ready alone can return before execution finishes on
+    tunneled/remote PJRT backends; reading a reduction back is airtight.
+    """
+    return float(jnp.sum(state.rho))
 
 
 def main():
@@ -32,13 +42,13 @@ def main():
     state = setup(state, params, spec, dt=1e-4)
     # warmup (compile)
     state = run_chunk(state, params, spec, spec.rebin_every)
-    jax.block_until_ready(state.x)
+    _barrier(state)
 
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "20"))
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state = run_chunk(state, params, spec, spec.rebin_every)
-    jax.block_until_ready(state.x)
+    _barrier(state)
     dt_wall = time.perf_counter() - t0
     steps = n_chunks * spec.rebin_every
     ps = n_particles * steps / dt_wall

@@ -29,6 +29,7 @@ from sph_bvf_tpu.core.state import (
     Params,
     State,
     rebin,
+    scatter_by_tag,
     state_from_particles,
 )
 from sph_bvf_tpu.core.stepper import ModelSpec
@@ -424,46 +425,30 @@ class Scene:
             raise RuntimeError("initial binning overflow; raise Scene.cap")
 
         # scatter per-atom fields through the tag permutation
-        order = np.asarray(state.tag).reshape(-1) - 1
-        valid = np.asarray(state.valid).reshape(-1)
-
-        def binned(arr, dtype):
-            out = np.zeros((order.shape[0],) + arr.shape[1:], dtype)
-            out[valid] = arr[order[valid]]
-            return jnp.asarray(out.reshape(state.x.shape[:2] + arr.shape[1:]))
-
-        gm = np.asarray(self._groupmask, np.int32)
-        repl = dict(groupmask=binned(gm, np.int32))
         pa = self._per_atom
+        host = dict(groupmask=np.asarray(self._groupmask, np.int32))
+        for name in ("rho", "e", "C", "Cd", "solid_tag", "fixed_tag", "v"):
+            if name in pa:
+                host[name] = pa[name]
+        state = scatter_by_tag(state, **host)
         if "rho" in pa:
-            rho = binned(pa["rho"].astype(np.float32), np.float32)
-            repl["rho"] = jnp.where(state.valid, rho, 1.0)
-            repl["rhoI"] = repl["rho"]
-        if "e" in pa:
-            repl["e"] = binned(pa["e"].astype(np.float32), np.float32)
-        if "C" in pa:
-            repl["C"] = binned(pa["C"].astype(np.float32), np.float32)
-        if "Cd" in pa:
-            repl["Cd"] = binned(pa["Cd"].astype(np.int32), np.int32)
-        if "solid_tag" in pa:
-            repl["solid_tag"] = binned(pa["solid_tag"].astype(np.int32), np.int32)
-        if "fixed_tag" in pa:
-            repl["fixed_tag"] = binned(pa["fixed_tag"].astype(np.int32), np.int32)
-        if "v" in pa:
-            repl["v"] = binned(pa["v"].astype(np.float32), np.float32)
-        state = dataclasses.replace(state, **repl)
+            rho = jnp.where(state.valid, state.rho, 1.0)
+            state = dataclasses.replace(state, rho=rho, rhoI=rho)
 
         solids = bool(np.any(pa.get("solid_tag", np.zeros(1)) != 0))
         elastic = bool(np.any(np.asarray(params.G0) > 0))
+        integ = self._integ or getattr(
+            IntegratorConfig, self._pair_variant
+        )()
+        pair_kwargs = dict(self._pair_kwargs)
+        # sweep 3 (vws/aws) is consumed only by the plain-bvf integrator
+        pair_kwargs.setdefault("weighted_solid", integ.variant == "bvf")
         pair_cfg = getattr(PairConfig, self._pair_variant)(
             dim=self.dim,
             solids_present=solids,
             elastic_present=elastic,
-            **self._pair_kwargs,
+            **pair_kwargs,
         )
-        integ = self._integ or getattr(
-            IntegratorConfig, self._pair_variant
-        )()
         spec = ModelSpec(
             geom=geom,
             pair=pair_cfg,

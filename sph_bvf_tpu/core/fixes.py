@@ -29,8 +29,8 @@ def _in_group(state: State, groupbit: int):
 
 
 def _region_mask(state: State, shape: str, center, length, width, radius):
-    drx = state.x[..., 0] - center[0]
-    dry = state.x[..., 1] - center[1]
+    drx = state.x[0] - center[0]
+    dry = state.x[1] - center[1]
     if shape == "circle":
         return drx * drx + dry * dry < radius * radius
     return (jnp.abs(drx) < length) & (jnp.abs(dry) < width)
@@ -67,17 +67,17 @@ class Forcing:
             & (state.step > self.after_step)
         )
         if self.field == "tsdpd":
-            C = state.C.at[..., self.index].set(
-                jnp.where(sel, self.value, state.C[..., self.index])
+            C = state.C.at[self.index].set(
+                jnp.where(sel, self.value, state.C[self.index])
             )
             return dataclasses.replace(state, C=C)
         if self.field == "ssa":
-            Cd = state.Cd.at[..., self.index].set(
-                jnp.where(sel, int(self.value), state.Cd[..., self.index])
+            Cd = state.Cd.at[self.index].set(
+                jnp.where(sel, int(self.value), state.Cd[self.index])
             )
             return dataclasses.replace(state, Cd=Cd)
-        vest = state.vest.at[..., self.index].set(
-            jnp.where(sel, self.value, state.vest[..., self.index])
+        vest = state.vest.at[self.index].set(
+            jnp.where(sel, self.value, state.vest[self.index])
         )
         return dataclasses.replace(state, vest=vest)
 
@@ -106,18 +106,18 @@ class Buffer:
         return END_OF_STEP if self.field == "density" else POST_INTEGRATE
 
     def _ramp(self, state: State):
-        drx = state.x[..., 0] - self.center[0]
-        dry = state.x[..., 1] - self.center[1]
+        drx = state.x[0] - self.center[0]
+        dry = state.x[1] - self.center[1]
         inside = (jnp.abs(drx) < self.length) & (jnp.abs(dry) < self.width)
         if self.direction == "x":
             xo = self.center[0] - self.length
             xl = self.center[0] + self.length
-            phi = (state.x[..., 0] - xo) / (xl - xo)
+            phi = (state.x[0] - xo) / (xl - xo)
             phi = phi * phi * phi  # cubic stretching (:154-155)
         else:
             yo = self.center[1] - self.width
             yl = self.center[1] + self.width
-            phi = (state.x[..., 1] - yo) / (yl - yo)
+            phi = (state.x[1] - yo) / (yl - yo)
             phi = 0.5 * (1.0 - jnp.tanh(8.0 - 16.0 * phi))  # tanh (:173)
         return jnp.where(inside, phi, 0.0)
 
@@ -125,12 +125,12 @@ class Buffer:
         sel = _in_group(state, self.groupbit) & (state.step > self.after_step)
         phi = jnp.where(sel, self._ramp(state), 0.0)
         if self.field == "tsdpd":
-            c = state.C[..., self.index]
-            C = state.C.at[..., self.index].set(c - phi * (c - self.value))
+            c = state.C[self.index]
+            C = state.C.at[self.index].set(c - phi * (c - self.value))
             return dataclasses.replace(state, C=C)
         if self.field == "velocity":
-            v = state.vest[..., self.index]
-            vest = state.vest.at[..., self.index].set(
+            v = state.vest[self.index]
+            vest = state.vest.at[self.index].set(
                 v - phi * (v - self.value)
             )
             return dataclasses.replace(state, vest=vest)
@@ -159,10 +159,10 @@ class Buoyancy:
         sel = _in_group(state, self.groupbit) & state.valid
         m = params.mass[state.ptype]
         if self.mode == "boussinesq":
-            df = m * self.acceleration * (state.C[..., self.species] - self.c_ref)
+            df = m * self.acceleration * (state.C[self.species] - self.c_ref)
         else:
             df = m * self.acceleration
-        f = state.f.at[..., self.dim].add(jnp.where(sel, df, 0.0))
+        f = state.f.at[self.dim].add(jnp.where(sel, df, 0.0))
         return dataclasses.replace(state, f=f)
 
 
@@ -185,13 +185,13 @@ class ChemRxnMassAction:
         sel = _in_group(state, self.groupbit) & state.valid
         flux = jnp.full_like(state.rho, self.k_rate)
         for r in self.reactants:
-            flux = flux * state.C[..., r]
+            flux = flux * state.C[r]
         flux = jnp.where(sel, flux, 0.0)
         Q = state.Q
         for r in self.reactants:
-            Q = Q.at[..., r].add(-flux)
+            Q = Q.at[r].add(-flux)
         for p in self.products:
-            Q = Q.at[..., p].add(flux)
+            Q = Q.at[p].add(flux)
         return dataclasses.replace(state, Q=Q)
 
 
@@ -215,7 +215,7 @@ class SetForce:
         for d, val in enumerate((self.fx, self.fy, self.fz)):
             if val is None:
                 continue
-            f = f.at[..., d].set(jnp.where(sel, val, f[..., d]))
+            f = f.at[d].set(jnp.where(sel, val, f[d]))
         return dataclasses.replace(state, f=f)
 
 
@@ -238,7 +238,7 @@ class DtAdaptive:
     stage = END_OF_STEP
 
     def apply(self, state: State, params: Params) -> State:
-        vsq = jnp.sum(state.v * state.v, axis=-1)
+        vsq = jnp.sum(state.v * state.v, axis=0)
         vsq = jnp.where(state.valid & _in_group(state, self.groupbit), vsq, 0.0)
         vmax = jnp.sqrt(jnp.max(vsq))
         dt = self.cfl * self.dx_ave / jnp.maximum(vmax, 1e-30)

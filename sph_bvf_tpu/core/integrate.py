@@ -8,6 +8,9 @@ each line); known reference quirks — e.g. solids drifting with `x += dtf*v`
 (half a timestep, fix...transport_velocity.cpp:183-185), and the
 variant-dependent dtf-vs-dtv density updates — are replicated, not repaired.
 
+Layout: scalar masks/fields are [cap, NC]; vectors are [3, cap, NC] and
+broadcast against scalars via a leading None (see core/state.py).
+
 Variants:
   * transport_velocity — fix ssa_tsdpd/bvf/transportVelocity
         (fix_ssa_tsdpd_bvf_transport_velocity.cpp)
@@ -118,7 +121,7 @@ def setup_pre_force(state: State) -> State:
 
 def _clamped_species_halfstep(state: State, dtf):
     """C += Q dtf, clamped >= 0 (fix...transport_velocity.cpp:233-237)."""
-    if state.C.shape[-1] == 0:
+    if state.C.shape[0] == 0:
         return state.C
     return jnp.maximum(state.C + state.Q * dtf, 0.0)
 
@@ -128,7 +131,7 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
     dtv = state.dt
     dtf = 0.5 * state.dt * params.ftm2v
     m = params.mass[state.ptype]
-    dtfm = (dtf / m)[..., None]
+    dtfm = (dtf / m)[None]  # [1, cap, NC] against vectors
 
     if cfg.variant == STATIONARY:
         # fix_ssa_tsdpd_stationary.cpp:74-133: only rho (and C) advance.
@@ -139,17 +142,17 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
         )
 
     free_fluid, free_solid, fixed_fluid, fixed_solid = _masks(state)
-    ff = free_fluid[..., None]
-    fs = free_solid[..., None]
+    ff = free_fluid[None]
+    fs = free_solid[None]
 
     if cfg.variant == BVF:
         # fix_ssa_tsdpd_bvf.cpp:145-199: one scheme for all free particles,
         # and fixed FLUID particles still integrate (reference behavior).
-        moving = (free_fluid | free_solid | fixed_fluid)[..., None]
+        moving = (free_fluid | free_solid | fixed_fluid)[None]
         vest = jnp.where(moving, state.v + 2.0 * dtfm * state.f, state.vest)
         v = jnp.where(moving, state.v + dtfm * state.f, state.v)
         x = state.x + jnp.where(moving, dtf * v, 0.0)
-        S_dot = (free_solid | fixed_solid)[..., None, None]
+        S_dot = (free_solid | fixed_solid)[None, None]
         S = state.S + jnp.where(S_dot, dtf * state.dS, 0.0)
         # :211 — all particles: rho += dtf*drho (no rhoI bookkeeping)
         rho = state.rho + dtf * state.drho
@@ -165,7 +168,7 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
 
     # --- transport_velocity / mechanics / fsi family -----------------------
     damp, damp_solid = _damps(state, cfg, dtype)
-    nden = state.num_den[..., None]
+    nden = state.num_den[None]
     xsph = cfg.xsph_factor * state.ddx / nden if cfg.xsph_factor else 0.0
 
     # free fluid (fix...transport_velocity.cpp:151-167)
@@ -182,7 +185,7 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
     x = state.x + jnp.where(ff, dtv * v, jnp.where(fs, dtf * v, 0.0))
 
     # deviatoric half-step: free solid 0.5*dtv (== dtf), fixed solid dtf (:188-222)
-    S_mask = (free_solid | fixed_solid)[..., None, None]
+    S_mask = (free_solid | fixed_solid)[None, None]
     S = state.S + jnp.where(S_mask, dtf * state.dS, 0.0)
 
     # density: all free + fixed fluid advance; fixed solid only rhoI (:198-227)
@@ -201,19 +204,17 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
     )
 
 
-def _bounce_back(state: State, v, nw, dtv, phi_gate, moving_wall_terms=None):
+def _bounce_back(state: State, v, nw, dtv, phi_gate):
     """BVF wall reflection (fix...transport_velocity.cpp:309-342).
 
     Rewind x, reflect v about the wall normal with no-penetration correction,
     re-advance x.  Applied where phi_gate holds.
     """
-    norm = jnp.sqrt(jnp.sum(nw * nw, axis=-1, keepdims=True))
+    norm = jnp.sqrt(jnp.sum(nw * nw, axis=0, keepdims=True))
     en = -nw / jnp.maximum(norm, 1e-30)
-    v_dot_en = jnp.sum(v * en, axis=-1, keepdims=True)
+    v_dot_en = jnp.sum(v * en, axis=0, keepdims=True)
     v_ref = -v + 2.0 * jnp.maximum(0.0, v_dot_en) * en
-    if moving_wall_terms is not None:
-        v_ref = v_ref + moving_wall_terms
-    g = phi_gate[..., None]
+    g = phi_gate[None]
     new_v = jnp.where(g, v_ref, v)
     # x_new = x - dtv*v + dtv*new_v  where gated
     new_x = state.x + jnp.where(g, dtv * (new_v - v), 0.0)
@@ -225,7 +226,7 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
     dtv = state.dt
     dtf = 0.5 * state.dt * params.ftm2v
     m = params.mass[state.ptype]
-    dtfm = (dtf / m)[..., None]
+    dtfm = (dtf / m)[None]
 
     if cfg.variant == STATIONARY:
         return dataclasses.replace(
@@ -249,10 +250,8 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
 
     # normalize phi/nw in place (:297-301); these persist for computes/dumps.
     phi = state.phi / nden
-    nw = state.nw / nden[..., None]
-    xsph = (
-        cfg.xsph_factor * state.ddx / nden[..., None] if cfg.xsph_factor else 0.0
-    )
+    nw = state.nw / nden[None]
+    xsph = cfg.xsph_factor * state.ddx / nden[None] if cfg.xsph_factor else 0.0
 
     # BVF bounce-back for free fluid with phi > 0.5 (:309-342)
     gate = free_fluid & (phi > 0.5)
@@ -262,19 +261,18 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
     v_fluid = state.vest + dtfm * state.f * damp + xsph
     v_solid = (v_bb + dtfm * state.f + xsph) * damp_solid
     v = jnp.where(
-        free_fluid[..., None],
+        free_fluid[None],
         v_fluid,
-        jnp.where(free_solid[..., None], v_solid, v_bb),
+        jnp.where(free_solid[None], v_solid, v_bb),
     )
 
     # final deviatoric half-step (:360-364, :392-394)
-    S_mask = (free_solid | fixed_solid)[..., None, None]
+    S_mask = (free_solid | fixed_solid)[None, None]
     S = state.S + jnp.where(S_mask, dtf * state.dS, 0.0)
 
     # density update table (:370-402 tv; fix...mechanics.cpp:391-448)
     on_filter = (state.step % cfg.freq_filter) == 0
     aux = state.rhoAux1 / jnp.maximum(state.rhoAux2, 1e-30)
-    dt_free_fluid = dtv if cfg.density_dtv else dtf
     if cfg.variant == TRANSPORT_VELOCITY:
         rho_free_f = jnp.where(on_filter, aux + dtf * state.drho,
                                state.rhoI + dtf * state.drho)
@@ -319,15 +317,15 @@ def _final_integrate_bvf(
     """
     # free particles: v += dtfm f (:264-267); fixed fluid too (:309-317)
     moving = free_fluid | free_solid | fixed_fluid
-    v = state.v + jnp.where(moving[..., None], dtfm * state.f, 0.0)
+    v = state.v + jnp.where(moving[None], dtfm * state.f, 0.0)
     # fixed fluid also drifts x += dtf v (:315-317)
-    x = state.x + jnp.where(fixed_fluid[..., None], dtf * v, 0.0)
+    x = state.x + jnp.where(fixed_fluid[None], dtf * v, 0.0)
 
     # reflection for free fluid (moving-wall terms, :276-292)
     gate_free = free_fluid & (state.phi > 0.5)
-    norm = jnp.sqrt(jnp.sum(state.nw * state.nw, axis=-1, keepdims=True))
+    norm = jnp.sqrt(jnp.sum(state.nw * state.nw, axis=0, keepdims=True))
     en = -state.nw / jnp.maximum(norm, 1e-30)
-    v_dot_en = jnp.sum(v * en, axis=-1, keepdims=True)
+    v_dot_en = jnp.sum(v * en, axis=0, keepdims=True)
     v_ref_free = (
         2.0 * state.vws + state.aws * dtv - v
         + 2.0 * jnp.maximum(0.0, v_dot_en) * en
@@ -336,10 +334,10 @@ def _final_integrate_bvf(
     gate_fixed = fixed_fluid & (state.phi > 0.5)
     v_ref_fixed = -v + 2.0 * jnp.maximum(0.0, v_dot_en) * en
 
-    v = jnp.where(gate_free[..., None], v_ref_free, v)
-    v = jnp.where(gate_fixed[..., None], v_ref_fixed, v)
+    v = jnp.where(gate_free[None], v_ref_free, v)
+    v = jnp.where(gate_fixed[None], v_ref_fixed, v)
 
-    S_mask = (free_solid | fixed_solid)[..., None, None]
+    S_mask = (free_solid | fixed_solid)[None, None]
     S = state.S + jnp.where(S_mask, dtf * state.dS, 0.0)
     rho = state.rho + dtf * state.drho  # :358
     return dataclasses.replace(
@@ -355,6 +353,6 @@ def _final_integrate_bvf(
 
 def _clamped_ssa(state: State):
     """Cd += Qd, clamped >= 0 (fix...transport_velocity.cpp:415-418)."""
-    if state.Cd.shape[-1] == 0:
+    if state.Cd.shape[0] == 0:
         return state.Cd
     return jnp.maximum(state.Cd + state.Qd, 0)

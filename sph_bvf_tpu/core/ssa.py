@@ -101,23 +101,23 @@ def pair_hop_counts(mu, seed, step, tag_src, tag_dst, species, terms):
 
 
 def _propensities(Cd, volume, groupmask, cfg: SsaConfig, dtype):
-    """[NC, cap, R] mass-action propensities (reference :101-144)."""
+    """[R, cap, NC] mass-action propensities (reference :101-144)."""
     props = []
     for rx in cfg.reactions:
         if len(rx.reactants) == 0:
             a = rx.k_rate * volume
         elif len(rx.reactants) == 1:
-            a = rx.k_rate * Cd[..., rx.reactants[0]].astype(dtype)
+            a = rx.k_rate * Cd[rx.reactants[0]].astype(dtype)
         else:
             r0, r1 = rx.reactants
-            c0 = Cd[..., r0].astype(dtype)
+            c0 = Cd[r0].astype(dtype)
             if r0 == r1:
                 a = rx.k_rate / volume / 2.0 * c0 * (c0 - 1.0)
             else:
-                a = rx.k_rate / volume * c0 * Cd[..., r1].astype(dtype)
+                a = rx.k_rate / volume * c0 * Cd[r1].astype(dtype)
         a = jnp.where((groupmask & rx.groupbit) != 0, a, 0.0)
         props.append(jnp.maximum(a, 0.0))
-    return jnp.stack(props, axis=-1)
+    return jnp.stack(props, axis=0)
 
 
 def _stoich_table(cfg: SsaConfig, n_species: int):
@@ -138,12 +138,12 @@ def _stoich_table(cfg: SsaConfig, n_species: int):
 
 def ssa_reactions(state: State, params: Params, cfg: SsaConfig) -> State:
     """Exact per-particle Gillespie within one dt (reference :420-458)."""
-    if not cfg.reactions or state.Cd.shape[-1] == 0:
+    if not cfg.reactions or state.Cd.shape[0] == 0:
         return state
     dtype = state.x.dtype
     R = len(cfg.reactions)
-    S = state.Cd.shape[-1]
-    stoich = _stoich_table(cfg, S)  # [R, S]
+    S = state.Cd.shape[0]
+    stoichT = _stoich_table(cfg, S).T  # [S, R]
     volume = params.mass[state.ptype] / state.rho
     dt = state.dt
 
@@ -158,25 +158,25 @@ def ssa_reactions(state: State, params: Params, cfg: SsaConfig) -> State:
 
     def body(e, carry):
         Cd, tt, alive = carry
-        a = _propensities(Cd, volume, state.groupmask, cfg, dtype)  # [..,R]
-        a0 = jnp.sum(a, axis=-1)
+        a = _propensities(Cd, volume, state.groupmask, cfg, dtype)  # [R,..]
+        a0 = jnp.sum(a, axis=0)
         has = a0 > 0.0
         u1 = uniforms(e, 1)
         u2 = uniforms(e, 2)
         tt_next = tt - jnp.log(1.0 - u1) / jnp.maximum(a0, 1e-300)
         fire = alive & has & (tt_next < dt)
         # channel selection: first r with cumsum(a) > u2 * a0
-        csum = jnp.cumsum(a, axis=-1)
-        idx = jnp.sum((csum <= (u2 * a0)[..., None]).astype(jnp.int32), axis=-1)
+        csum = jnp.cumsum(a, axis=0)
+        idx = jnp.sum((csum <= (u2 * a0)[None]).astype(jnp.int32), axis=0)
         idx = jnp.minimum(idx, R - 1)
-        delta = stoich[idx]  # [.., S]
-        Cd = jnp.where(fire[..., None], Cd + delta, Cd)
+        delta = stoichT[:, idx]  # [S, ..]
+        Cd = jnp.where(fire[None], Cd + delta, Cd)
         tt = jnp.where(alive & has, tt_next, tt)
         alive = fire
         return Cd, tt, alive
 
     Cd0 = state.Cd
-    tt0 = jnp.zeros(Cd0.shape[:-1], dtype)
+    tt0 = jnp.zeros(Cd0.shape[1:], dtype)
     alive0 = state.valid
     Cd, _, _ = jax.lax.fori_loop(
         0, cfg.max_reaction_events, body, (Cd0, tt0, alive0)

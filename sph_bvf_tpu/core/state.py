@@ -3,22 +3,32 @@
 The reference stores particles in flat grow-able SoA arrays plus binned
 linked-list neighbor structures (src/atom.cpp, src/nbin_standard.cpp).  On
 TPU everything must be static-shape and gather/scatter-light, so the state
-here lives directly in a dense *cell-slot* layout:
+here lives directly in a dense *cell-slot* layout, **component-leading and
+cell-minor** so the big axes land on the hardware's (sublane, lane) tiles:
 
-    field[ncells_total, cap, ...]     ncells_total = ncx * ncy * ncz
+    scalar field  [cap, NC]          NC = ncx * ncy * ncz flat cells
+    vector field  [3, cap, NC]
+    tensor field  [3, 3, cap, NC]
+    species field [Ns, cap, NC]
 
 Each cell owns up to ``cap`` particle slots (padded, with a validity mask).
+TPU f32 tiles are (8 sublanes, 128 lanes) over the trailing two dims; with
+``cap`` on sublanes and ``NC`` on lanes the padding overhead is a few
+percent.  (The obvious alternative — particles-major ``[NC, cap, 3]`` — pads
+3 -> 128 lanes and costs 40x memory and bandwidth on every op.)
+
 Neighbor candidates for a cell are the particles in its 3^dim stencil cells,
-reachable by *static shifts* of the cell grid — no index gathers in the hot
-loop, and the shifts lower to ICI collective-permutes when the grid is
-sharded across a device mesh.
+reachable by *static lane shifts* of the flat cell axis — no index gathers
+in the hot loop, and the shifts lower to ICI collective-permutes when the
+cell axis is sharded across a device mesh.
 
 Rebinning (the analog of LAMMPS ``exchange + borders + neighbor->build``,
-comm_brick.cpp:585,709, neighbor.cpp:2008) is a sort-by-cell scatter executed
-every ``rebin_every`` steps.  Because pair kernels re-test the true cutoff
-against *fresh* positions every step, the binning only needs to satisfy
-``cell_size >= cutoff + 2 * max_drift_between_rebins`` — stricter than the
-reference's skin heuristic (neighbor.cpp:88-90), never missing pairs.
+comm_brick.cpp:585,709, neighbor.cpp:2008) is a sort-by-cell permutation
+executed every ``rebin_every`` steps.  Because pair kernels re-test the true
+cutoff against *fresh* positions every step, the binning only needs to
+satisfy ``cell_size >= cutoff + 2 * max_drift_between_rebins`` — stricter
+than the reference's skin heuristic (neighbor.cpp:88-90), never missing
+pairs.
 
 Per-particle state mirrors atom_vec_ssa_tsdpd_atomic.h:60-85 / atom.h:84-109:
 positions, transport and momentum velocities, density, energy, continuum
@@ -30,7 +40,6 @@ boundary (force_clear, atom_vec_ssa_tsdpd_atomic.cpp:391-424).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -60,6 +69,12 @@ class Geometry:
     @property
     def nslots(self) -> int:
         return self.ncells_total * self.cap
+
+    # Flat cell index is x-major, z-minor: c = (cx * ncy + cy) * ncz + cz.
+    @property
+    def strides(self) -> Tuple[int, int, int]:
+        nx, ny, nz = self.ncells
+        return (ny * nz, nz, 1)
 
     def stencil_offsets(self):
         """All 3^dim cell offsets (including self)."""
@@ -152,42 +167,46 @@ def _f(shape, dtype=jnp.float32):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class State:
-    """All per-particle state in cell-slot layout [NC, cap, ...]."""
+    """All per-particle state, component-leading cell-slot layout.
+
+    Trailing two axes are always [cap, NC]; vector/tensor/species components
+    lead (see module docstring for why).
+    """
 
     # -- identity / tags ---------------------------------------------------
-    tag: jax.Array  # i32 [NC, cap] global particle id (>=1); 0 for empty slots
-    ptype: jax.Array  # i32 [NC, cap] 0-based particle type
-    valid: jax.Array  # bool [NC, cap]
-    groupmask: jax.Array  # i32 [NC, cap] group bitmask (bit 0 == "all")
-    solid_tag: jax.Array  # i32 [NC, cap]
-    fixed_tag: jax.Array  # i32 [NC, cap]
+    tag: jax.Array  # i32 [cap, NC] global particle id (>=1); 0 for empty slots
+    ptype: jax.Array  # i32 [cap, NC] 0-based particle type
+    valid: jax.Array  # bool [cap, NC]
+    groupmask: jax.Array  # i32 [cap, NC] group bitmask (bit 0 == "all")
+    solid_tag: jax.Array  # i32 [cap, NC]
+    fixed_tag: jax.Array  # i32 [cap, NC]
     # -- integrated fields --------------------------------------------------
-    x: jax.Array  # f32 [NC, cap, 3]
-    v: jax.Array  # f32 [NC, cap, 3] transport velocity (reference atom->v)
-    vest: jax.Array  # f32 [NC, cap, 3] momentum velocity (reference atom->vest)
-    rho: jax.Array  # f32 [NC, cap]
-    rhoI: jax.Array  # f32 [NC, cap] half-step density
-    e: jax.Array  # f32 [NC, cap] per-particle energy
-    C: jax.Array  # f32 [NC, cap, Ns] continuum species
-    Cd: jax.Array  # i32 [NC, cap, Nssa] integer (SSA) species counts
-    S: jax.Array  # f32 [NC, cap, 3, 3] deviatoric stress tensor
+    x: jax.Array  # f32 [3, cap, NC]
+    v: jax.Array  # f32 [3, cap, NC] transport velocity (reference atom->v)
+    vest: jax.Array  # f32 [3, cap, NC] momentum velocity (reference atom->vest)
+    rho: jax.Array  # f32 [cap, NC]
+    rhoI: jax.Array  # f32 [cap, NC] half-step density
+    e: jax.Array  # f32 [cap, NC] per-particle energy
+    C: jax.Array  # f32 [Ns, cap, NC] continuum species
+    Cd: jax.Array  # i32 [Nssa, cap, NC] integer (SSA) species counts
+    S: jax.Array  # f32 [3, 3, cap, NC] deviatoric stress tensor
     # -- force-eval outputs (persist across the step boundary) --------------
-    f: jax.Array  # f32 [NC, cap, 3]
-    drho: jax.Array  # f32 [NC, cap]
-    de: jax.Array  # f32 [NC, cap]
-    Q: jax.Array  # f32 [NC, cap, Ns] species flux
-    Qd: jax.Array  # i32 [NC, cap, Nssa] SSA diffusion deltas
-    ddv: jax.Array  # f32 [NC, cap, 3] background-pressure velocity correction
-    ddx: jax.Array  # f32 [NC, cap, 3] XSPH position smoothing accumulator
-    dS: jax.Array  # f32 [NC, cap, 3, 3] deviatoric stress rate
-    phi: jax.Array  # f32 [NC, cap] boundary volume fraction
-    num_den: jax.Array  # f32 [NC, cap] number density (BVF Eq. 2)
-    nw: jax.Array  # f32 [NC, cap, 3] wall normal accumulator
-    vws: jax.Array  # f32 [NC, cap, 3] kernel-weighted solid velocity
-    aws: jax.Array  # f32 [NC, cap, 3] kernel-weighted solid acceleration
-    rhoAux1: jax.Array  # f32 [NC, cap] Shepard filter numerator
-    rhoAux2: jax.Array  # f32 [NC, cap] Shepard filter denominator
-    Pnew: jax.Array  # f32 [NC, cap] stored pressure (mechanics/fsi variants)
+    f: jax.Array  # f32 [3, cap, NC]
+    drho: jax.Array  # f32 [cap, NC]
+    de: jax.Array  # f32 [cap, NC]
+    Q: jax.Array  # f32 [Ns, cap, NC] species flux
+    Qd: jax.Array  # i32 [Nssa, cap, NC] SSA diffusion deltas
+    ddv: jax.Array  # f32 [3, cap, NC] background-pressure velocity correction
+    ddx: jax.Array  # f32 [3, cap, NC] XSPH position smoothing accumulator
+    dS: jax.Array  # f32 [3, 3, cap, NC] deviatoric stress rate
+    phi: jax.Array  # f32 [cap, NC] boundary volume fraction
+    num_den: jax.Array  # f32 [cap, NC] number density (BVF Eq. 2)
+    nw: jax.Array  # f32 [3, cap, NC] wall normal accumulator
+    vws: jax.Array  # f32 [3, cap, NC] kernel-weighted solid velocity
+    aws: jax.Array  # f32 [3, cap, NC] kernel-weighted solid acceleration
+    rhoAux1: jax.Array  # f32 [cap, NC] Shepard filter numerator
+    rhoAux2: jax.Array  # f32 [cap, NC] Shepard filter denominator
+    Pnew: jax.Array  # f32 [cap, NC] stored pressure (mechanics/fsi variants)
     # -- bookkeeping ---------------------------------------------------------
     step: jax.Array  # i32 scalar
     dt: jax.Array  # f32 scalar (carried: fix dt/adaptive mutates it)
@@ -204,37 +223,37 @@ class State:
         NC, cap = geom.ncells_total, geom.cap
         i32 = jnp.int32
         return State(
-            tag=_f((NC, cap), i32),
-            ptype=_f((NC, cap), i32),
-            valid=jnp.zeros((NC, cap), bool),
-            groupmask=_f((NC, cap), i32),
-            solid_tag=_f((NC, cap), i32),
-            fixed_tag=_f((NC, cap), i32),
-            x=_f((NC, cap, 3), dtype),
-            v=_f((NC, cap, 3), dtype),
-            vest=_f((NC, cap, 3), dtype),
-            rho=jnp.ones((NC, cap), dtype),
-            rhoI=jnp.ones((NC, cap), dtype),
-            e=_f((NC, cap), dtype),
-            C=_f((NC, cap, n_sdpd), dtype),
-            Cd=_f((NC, cap, n_ssa), i32),
-            S=_f((NC, cap, 3, 3), dtype),
-            f=_f((NC, cap, 3), dtype),
-            drho=_f((NC, cap), dtype),
-            de=_f((NC, cap), dtype),
-            Q=_f((NC, cap, n_sdpd), dtype),
-            Qd=_f((NC, cap, n_ssa), i32),
-            ddv=_f((NC, cap, 3), dtype),
-            ddx=_f((NC, cap, 3), dtype),
-            dS=_f((NC, cap, 3, 3), dtype),
-            phi=_f((NC, cap), dtype),
-            num_den=jnp.ones((NC, cap), dtype),
-            nw=_f((NC, cap, 3), dtype),
-            vws=_f((NC, cap, 3), dtype),
-            aws=_f((NC, cap, 3), dtype),
-            rhoAux1=_f((NC, cap), dtype),
-            rhoAux2=jnp.ones((NC, cap), dtype),
-            Pnew=_f((NC, cap), dtype),
+            tag=_f((cap, NC), i32),
+            ptype=_f((cap, NC), i32),
+            valid=jnp.zeros((cap, NC), bool),
+            groupmask=_f((cap, NC), i32),
+            solid_tag=_f((cap, NC), i32),
+            fixed_tag=_f((cap, NC), i32),
+            x=_f((3, cap, NC), dtype),
+            v=_f((3, cap, NC), dtype),
+            vest=_f((3, cap, NC), dtype),
+            rho=jnp.ones((cap, NC), dtype),
+            rhoI=jnp.ones((cap, NC), dtype),
+            e=_f((cap, NC), dtype),
+            C=_f((n_sdpd, cap, NC), dtype),
+            Cd=_f((n_ssa, cap, NC), i32),
+            S=_f((3, 3, cap, NC), dtype),
+            f=_f((3, cap, NC), dtype),
+            drho=_f((cap, NC), dtype),
+            de=_f((cap, NC), dtype),
+            Q=_f((n_sdpd, cap, NC), dtype),
+            Qd=_f((n_ssa, cap, NC), i32),
+            ddv=_f((3, cap, NC), dtype),
+            ddx=_f((3, cap, NC), dtype),
+            dS=_f((3, 3, cap, NC), dtype),
+            phi=_f((cap, NC), dtype),
+            num_den=jnp.ones((cap, NC), dtype),
+            nw=_f((3, cap, NC), dtype),
+            vws=_f((3, cap, NC), dtype),
+            aws=_f((3, cap, NC), dtype),
+            rhoAux1=_f((cap, NC), dtype),
+            rhoAux2=jnp.ones((cap, NC), dtype),
+            Pnew=_f((cap, NC), dtype),
             step=jnp.zeros((), i32),
             dt=jnp.zeros((), dtype),
             key=jax.random.PRNGKey(seed),
@@ -246,12 +265,12 @@ class State:
 # Cell indexing & rebinning
 # ---------------------------------------------------------------------------
 
-# Bookkeeping leaves that carry no leading [NC, cap] axis.
+# Bookkeeping leaves that carry no trailing [cap, NC] axes.
 _SCALAR_LEAVES = ("step", "dt", "key", "overflow")
 
 
 def particle_fields(state: State) -> dict:
-    """All per-particle leaves (leading [NC, cap]) as a dict."""
+    """All per-particle leaves (trailing [cap, NC]) as a dict."""
     return {
         f.name: getattr(state, f.name)
         for f in dataclasses.fields(state)
@@ -260,24 +279,67 @@ def particle_fields(state: State) -> dict:
 
 
 def cell_index_of(x, geom: Geometry):
-    """Map positions [..., 3] -> flat cell index [...]. Clamps open boundaries."""
-    lo = jnp.asarray(geom.lo, x.dtype)
-    inv = 1.0 / jnp.asarray(geom.cell_size, x.dtype)
-    c = jnp.floor((x - lo) * inv).astype(jnp.int32)
-    nc = jnp.asarray(geom.ncells, jnp.int32)
-    per = jnp.asarray(geom.periodic)
-    c = jnp.where(per, jnp.mod(c, nc), jnp.clip(c, 0, nc - 1))
-    return (c[..., 0] * geom.ncells[1] + c[..., 1]) * geom.ncells[2] + c[..., 2]
+    """Map positions [3, ...] -> flat cell index [...]. Clamps open boundaries."""
+    out = None
+    for ax in range(3):
+        n = geom.ncells[ax]
+        if n == 1:
+            c = jnp.zeros(x.shape[1:], jnp.int32)
+        else:
+            inv = 1.0 / geom.cell_size[ax]
+            c = jnp.floor((x[ax] - geom.lo[ax]) * inv).astype(jnp.int32)
+            c = jnp.mod(c, n) if geom.periodic[ax] else jnp.clip(c, 0, n - 1)
+        out = c if out is None else out * n + c
+    return out
 
 
 def wrap_pbc(x, geom: Geometry):
     """Wrap positions into the box on periodic axes (reference domain->pbc)."""
-    lo = jnp.asarray(geom.lo, x.dtype)
-    hi = jnp.asarray(geom.hi, x.dtype)
-    ext = hi - lo
-    per = jnp.asarray(geom.periodic)
-    wrapped = lo + jnp.mod(x - lo, ext)
-    return jnp.where(per, wrapped, x)
+    comps = []
+    for ax in range(3):
+        if geom.periodic[ax]:
+            lo, hi = geom.lo[ax], geom.hi[ax]
+            comps.append(lo + jnp.mod(x[ax] - lo, hi - lo))
+        else:
+            comps.append(x[ax])
+    return jnp.stack(comps, axis=0)
+
+
+def _coord_of_cells(geom: Geometry, ax: int):
+    """Per-cell coordinate along ``ax`` as an i32 [NC] vector."""
+    c = np.arange(geom.ncells_total, dtype=np.int32)
+    return jnp.asarray((c // geom.strides[ax]) % geom.ncells[ax])
+
+
+def shift_cells(a, offset, geom: Geometry):
+    """Neighbor-cell view: out[..., c] = a[..., c + offset] on the cell grid.
+
+    ``a`` has trailing flat-cell axis NC.  Implemented as lane rolls along
+    that axis plus boundary corrections — non-periodic axes produce zeros
+    (an all-invalid ghost cell); periodic axes wrap within the axis.  This
+    is the entire neighbor-access machinery: on a sharded cell axis the
+    rolls become ICI collective-permutes of one-cell-wide slabs.
+    """
+    for ax, off in enumerate(offset):
+        if off == 0:
+            continue
+        n = geom.ncells[ax]
+        stride = geom.strides[ax]
+        coord = _coord_of_cells(geom, ax)
+        inbounds = (coord + off >= 0) & (coord + off < n)
+        main = jnp.roll(a, -off * stride, axis=-1)
+        if geom.periodic[ax]:
+            wrap_off = off - n if off > 0 else off + n
+            alt = jnp.roll(a, -wrap_off * stride, axis=-1)
+            a = jnp.where(inbounds, main, alt)
+        else:
+            a = jnp.where(inbounds, main, jnp.zeros((), a.dtype))
+    return a
+
+
+def _flat_slots(a):
+    """[..., cap, NC] -> [..., cap * NC] (slot-major flat particle axis)."""
+    return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
 
 
 def rebin(state: State, geom: Geometry) -> State:
@@ -286,34 +348,67 @@ def rebin(state: State, geom: Geometry) -> State:
     Deterministic: rows are sorted by (cell, current flat slot).  Particles
     beyond a cell's capacity are dropped and counted in ``state.overflow``
     (which the host asserts to be zero — the analog of LAMMPS "lost atoms").
+
+    TPU shape: the permutation is one stable argsort of the [M] cell keys,
+    a cummax-based segment rank (NOT searchsorted — XLA lowers that to a
+    24ms binary-search while loop at N=200), and one i32 scatter to invert
+    it; then ALL per-particle leaves move in exactly two gathers, packed as
+    one f32 and one i32 matrix [F, M] sharing the index vector.
     """
     NC, cap = geom.ncells_total, geom.cap
     M = NC * cap
 
-    fields = {
-        k: a.reshape((M,) + a.shape[2:]) for k, a in particle_fields(state).items()
-    }
+    fields = particle_fields(state)
     fields["x"] = wrap_pbc(fields["x"], geom)
 
-    cell = jnp.where(fields["valid"], cell_index_of(fields["x"], geom), NC)
+    valid = _flat_slots(fields["valid"])
+    cell = jnp.where(valid, _flat_slots(cell_index_of(fields["x"], geom)), NC)
     order = jnp.argsort(cell, stable=True)
     cell_sorted = cell[order]
-    # rank of each row within its cell
-    first = jnp.searchsorted(cell_sorted, cell_sorted, side="left")
-    rank = jnp.arange(M, dtype=jnp.int32) - first.astype(jnp.int32)
+    # rank within cell: position minus the (cummax-propagated) segment start
+    i = jnp.arange(M, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_sorted[1:] != cell_sorted[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, i, 0))
+    rank = i - seg_start
     keep = (cell_sorted < NC) & (rank < cap)
-    dest = jnp.where(keep, cell_sorted * cap + rank, M)  # M -> dropped
-
+    # slot-major destination: dest = rank * NC + cell
+    dest = jnp.where(keep, rank * NC + cell_sorted, M)  # M -> dropped
     dropped = jnp.sum((cell_sorted < NC) & ~keep).astype(jnp.int32)
 
-    def scatter(a):
-        src = a[order]
-        out = jnp.zeros((M,) + a.shape[1:], a.dtype)
-        return out.at[dest].set(src, mode="drop")
+    # invert the permutation once: src[dest] = order
+    src = jnp.full((M,), M, jnp.int32).at[dest].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    got = src < M
+    src = jnp.minimum(src, M - 1)
 
-    new_fields = {
-        k: scatter(a).reshape((NC, cap) + a.shape[1:]) for k, a in fields.items()
-    }
+    # pack all leaves into two dtype-homogeneous matrices, move, unpack
+    f32 = state.x.dtype
+    packs = {f32: [], jnp.int32: []}
+    meta = []  # (name, dtype-kind, nrows, lead-shape)
+    for name, a in fields.items():
+        flat = _flat_slots(a).reshape(-1, M)
+        kind = f32 if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32
+        packs[kind].append(flat.astype(kind))
+        meta.append((name, kind, flat.shape[0], a.shape[:-2], a.dtype))
+
+    moved = {}
+    for kind, mats in packs.items():
+        if not mats:
+            continue
+        mat = jnp.concatenate(mats, axis=0)
+        moved[kind] = jnp.where(got, mat[:, src], jnp.zeros((), kind))
+
+    new_fields = {}
+    rows = {f32: 0, jnp.int32: 0}
+    for name, kind, nrows, lead, dtype in meta:
+        r = rows[kind]
+        rows[kind] = r + nrows
+        block = moved[kind][r : r + nrows]
+        new_fields[name] = block.astype(dtype).reshape(lead + (cap, NC))
+
     new_state = dataclasses.replace(
         state, overflow=state.overflow + dropped, **new_fields
     )
@@ -331,43 +426,6 @@ def _neutralize_invalid(state: State) -> State:
         num_den=jnp.where(v, state.num_den, 1.0),
         rhoAux2=jnp.where(v, state.rhoAux2, 1.0),
     )
-
-
-def grid_view(a, geom: Geometry):
-    """[NC, cap, ...] -> [ncx, ncy, ncz, cap, ...]."""
-    return a.reshape(geom.ncells + a.shape[1:])
-
-
-def flat_view(a, geom: Geometry):
-    return a.reshape((geom.ncells_total,) + a.shape[3:])
-
-
-def shift_cells(a, offset, geom: Geometry):
-    """Neighbor-cell view: out[c] = a[c + offset] on the cell grid.
-
-    ``a`` is [NC, cap, ...].  Non-periodic axes pad with zeros (an all-invalid
-    ghost cell); periodic axes wrap.  This is the entire neighbor-access
-    machinery: on a sharded cell grid these static shifts become ICI
-    collective-permutes of one cell-wide slabs.
-    """
-    g = grid_view(a, geom)
-    for ax, off in enumerate(offset):
-        if off == 0:
-            continue
-        if geom.periodic[ax]:
-            g = jnp.roll(g, -off, axis=ax)
-        else:
-            n = g.shape[ax]
-            pad = [(0, 0)] * g.ndim
-            idx = [slice(None)] * g.ndim
-            if off > 0:
-                pad[ax] = (0, off)
-                idx[ax] = slice(off, off + n)
-            else:
-                pad[ax] = (-off, 0)
-                idx[ax] = slice(0, n)
-            g = jnp.pad(g, pad)[tuple(idx)]
-    return flat_view(g, geom)
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +448,13 @@ def host_cpu_device():
 def to_default_device(tree):
     """Materialize every leaf on the default device (uncommitted)."""
     return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), tree)
+
+
+def _to_internal(host: np.ndarray) -> np.ndarray:
+    """Host [n, comps...] (component-trailing) -> internal [comps..., n]."""
+    if host.ndim == 1:
+        return host
+    return np.moveaxis(host, 0, -1)
 
 
 def state_from_particles(
@@ -421,9 +486,10 @@ def state_from_particles(
         raise ValueError(f"{n} particles exceed slot capacity {M}")
 
     def put(field, valsrc):
-        flat = np.zeros((M,) + field.shape[2:], np.dtype(field.dtype))
-        flat[:n] = valsrc
-        return jnp.asarray(flat).reshape(field.shape)
+        lead = field.shape[:-2]
+        flat = np.zeros(lead + (M,), np.dtype(field.dtype))
+        flat[..., :n] = _to_internal(np.asarray(valsrc))
+        return jnp.asarray(flat.reshape(field.shape))
 
     st = dataclasses.replace(
         st,
@@ -437,14 +503,41 @@ def state_from_particles(
     return st
 
 
+def scatter_by_tag(state: State, **host_arrays) -> State:
+    """Overwrite per-particle fields from tag-ordered host arrays.
+
+    ``host_arrays[name]`` is [n, comps...] indexed by ``tag - 1``; slots are
+    filled through the current binning.  The scene builder and tests use
+    this to set initial conditions after binning.
+    """
+    order = np.asarray(state.tag).reshape(-1) - 1
+    valid = np.asarray(state.valid).reshape(-1)
+    repl = {}
+    for name, arr in host_arrays.items():
+        field = getattr(state, name)
+        arr = np.asarray(arr)
+        flat = np.zeros((order.shape[0],) + arr.shape[1:], arr.dtype)
+        flat[valid] = arr[order[valid]]
+        internal = _to_internal(flat)  # [comps..., M]
+        repl[name] = jnp.asarray(
+            internal.reshape(field.shape), dtype=field.dtype
+        )
+    return dataclasses.replace(state, **repl)
+
+
 def gather_particles(state: State, geom: Geometry, fields=("x", "v", "rho")):
-    """Host-side: extract valid particles sorted by tag -> dict of np arrays."""
+    """Host-side: extract valid particles sorted by tag -> dict of np arrays.
+
+    Returned arrays are component-trailing ([n, 3] vectors etc.), matching
+    the reference's per-atom array conventions.
+    """
     valid = np.asarray(state.valid).reshape(-1)
     tags = np.asarray(state.tag).reshape(-1)[valid]
     order = np.argsort(tags, kind="stable")
     out = {"tag": tags[order]}
     for name in fields:
         a = np.asarray(getattr(state, name))
-        a = a.reshape((-1,) + a.shape[2:])[valid]
+        a = a.reshape(a.shape[:-2] + (-1,))  # lead + (M,)
+        a = np.moveaxis(a, -1, 0)[valid]  # [n, comps...]
         out[name] = a[order]
     return out

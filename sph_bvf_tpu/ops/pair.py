@@ -20,6 +20,14 @@ full-neighbor (newton-off) reductions over the cell-slot layout:
    weights (validity, self-exclusion; the r >= h case is already an exact
    zero of the Lucy kernel) masks everything downstream with no NaN hazards.
 
+Layout: per-particle blocks are [cap, NC] with components leading (see
+core/state.py); pair blocks are [ci, cj, NC] with components leading —
+[3, ci, cj, NC] vectors, [3, 3, ci, cj, NC] tensors.  The trailing (cj, NC)
+pair lands on the TPU's (sublane, lane) tiles; the cj-reductions are cheap
+cross-sublane sums; small component axes are unrolled loops over well-tiled
+blocks (never lane-padded).  Neighbor access is `shift_cells` (lane rolls ->
+ICI collective-permutes under sharding).
+
 Known deliberate deviation: the reference adds the *i-perspective* pair
 energy `deltaE` to both i and j (pair...transport_velocity.cpp:558,658) even
 when the Sun-2018 pressure switch has flipped fpair's sign for the j side;
@@ -27,17 +35,12 @@ the full-neighbor evaluation gives each side its own perspective.  `de` is
 accumulated but never integrated by any shipped fix (all ``e[i] += dtf*de``
 lines are commented out, e.g. fix_ssa_tsdpd_bvf.cpp:209), so fields are
 unaffected.
-
-Everything here is shape-static and jit/shard-transparent: neighbor access
-is `shift_cells` (static slabs -> ICI collective-permutes under sharding).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from sph_bvf_tpu.ops import rand
@@ -80,7 +83,7 @@ class PairConfig:
     # The reference gates it on tnow <= tdamp with tdamp = the whole run, so
     # it is a constant during a run.
     ampl_damp: float = 0.0
-    # chemo-mechanical softening G0_eff = G0 (1 - 0.99 C[:,0]) (fsi, :441-445).
+    # chemo-mechanical softening G0_eff = G0 (1 - 0.99 C[0]) (fsi, :441-445).
     g0_chem_coupling: bool = False
     # species advection-correction flux term (tv only, :714-715).
     species_advection: bool = True
@@ -88,6 +91,9 @@ class PairConfig:
     store_pnew: bool = False
     # sweep-3 weighted-solid sums skip fixed solids (mechanics/fsi, :893-909).
     weighted_solid_skip_fixed: bool = False
+    # compute sweep 3 at all (only the plain-bvf integrator consumes vws/aws;
+    # the scene builder enables this when that integrator is selected).
+    weighted_solid: bool = True
     # static model hints (skip dead code paths entirely)
     solids_present: bool = True
     elastic_present: bool = True
@@ -138,15 +144,15 @@ class PairConfig:
 
 
 def _per_particle(state: State, params: Params, cfg: PairConfig):
-    """Fields every pair term needs, computed once per particle."""
+    """Fields every pair term needs, computed once per particle [*, cap, NC]."""
     t = state.ptype
     m = params.mass[t]
     B = params.B[t]
     rho0 = params.rho0[t]
     c0 = params.c0[t]
     G0 = params.G0[t]
-    if cfg.g0_chem_coupling and state.C.shape[-1] > 0:
-        G0 = G0 * (1.0 - 0.99 * state.C[..., 0])
+    if cfg.g0_chem_coupling and state.C.shape[0] > 0:
+        G0 = G0 * (1.0 - 0.99 * state.C[0])
     P = tait_pressure(state.rho, rho0, B)
     V2 = (m / state.rho) ** 2
     solid = state.solid_tag == 1
@@ -156,14 +162,15 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
     # it redundantly inside the pair loop from purely per-particle state,
     # pair...transport_velocity.cpp:453-483).
     p_for_as = jnp.abs(P) if cfg.art_stress_abs_p else P
-    eye = jnp.eye(3, dtype=state.S.dtype)
-    total = state.S - p_for_as[..., None, None] * eye
-    AS_solid = jnp.where(
-        total > 0.0,
-        -cfg.art_stress_coef * total / (state.rho**2)[..., None, None],
-        0.0,
-    )
-    AS = jnp.where(solid[..., None, None], AS_solid, 0.0)
+    inv_rho2 = 1.0 / (state.rho * state.rho)
+    AS = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(3):
+            total = state.S[a, b] - (p_for_as if a == b else 0.0)
+            AS[a][b] = jnp.where(
+                solid & (total > 0.0), -cfg.art_stress_coef * total * inv_rho2, 0.0
+            )
+    AS = jnp.stack([jnp.stack(row, axis=0) for row in AS], axis=0)
 
     return dict(
         valid=state.valid,
@@ -192,15 +199,23 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
 
 
 def _bc(a, side):
-    """Broadcast a per-particle field [NC, cap, ...] to pair shape.
+    """Broadcast a per-particle field [*, cap, NC] to pair shape.
 
-    side "i": [NC, cap, 1, ...];  side "j": [NC, 1, cap, ...].
+    side "i": [*, ci, 1, NC];  side "j": [*, 1, cj, NC].
     """
-    return a[:, :, None] if side == "i" else a[:, None, :]
+    return a[..., :, None, :] if side == "i" else a[..., None, :, :]
 
 
 def _dot3(a, b):
-    return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+    """Dot over the leading component axis: [3, ...] x [3, ...] -> [...]."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _xdot_tensor(dx, T):
+    """out[m] = sum_k dx[k] T[k, m] — unrolled over the tiny component dims."""
+    return jnp.stack(
+        [sum(dx[k] * T[k, m] for k in range(3)) for m in range(3)], axis=0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -209,16 +224,21 @@ def _dot3(a, b):
 
 
 def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc):
-    """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``."""
+    """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
+
+    Pair blocks are [ci, cj, NC] (components leading); reductions are over
+    the cj axis (axis -2 of the scalar block).
+    """
     f32 = I["x"].dtype
     dim = cfg.dim
+    RED = -2  # the cj axis of a scalar pair block
 
     ti, tj = I["ptype"], J["ptype"]
     T = params.ntypes
-    tp = ti * T + tj  # flattened type-pair index [NC, ci, cj]
+    tp = ti * T + tj  # flattened type-pair index [ci, cj, NC]
     h = params.cut.reshape(-1)[tp]
 
-    dx = I["x"] - J["x"]  # [NC, ci, cj, 3]
+    dx = I["x"] - J["x"]  # [3, ci, cj, NC]
     rsq = _dot3(dx, dx)
     r = jnp.sqrt(rsq)
 
@@ -240,31 +260,30 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
     solid_i, solid_j = I["solid"], J["solid"]
 
     # ---- sweep 1 ----------------------------------------------------------
-    acc["num_den"] += jnp.sum(Vj2 * wfBvf, axis=2)
-    acc["rhoAux1"] += jnp.sum(J["rhoI"] * wfBvf, axis=2)
-    acc["rhoAux2"] += jnp.sum(wfBvf, axis=2)
+    acc["num_den"] += jnp.sum(Vj2 * wfBvf, axis=RED)
+    acc["rhoAux1"] += jnp.sum(J["rhoI"] * wfBvf, axis=RED)
+    acc["rhoAux2"] += jnp.sum(wfBvf, axis=RED)
     # background-pressure velocity correction, Adami 2013 (:252-254);
     # wfd2 == wfd because hRatio is hardcoded 1.0 (:186,:214).
     ddv_coef = 10.0 * 7.0 * I["B"] * (Vi2 + Vj2) * wfd
-    acc["ddv"] += jnp.sum(ddv_coef[..., None] * dx, axis=2)
+    acc["ddv"] += jnp.sum(ddv_coef[None] * dx, axis=RED)
     if cfg.xsph:
         dvest_ji = J["vest"] - I["vest"]
-        acc["ddx"] += jnp.sum((Vj2 * wf)[..., None] * dvest_ji, axis=2)
+        acc["ddx"] += jnp.sum((Vj2 * wf)[None] * dvest_ji, axis=RED)
 
     # ---- sweep 2 ----------------------------------------------------------
-    velvec = I["vest"] - J["vest"]  # momentum-velocity difference
+    velvec = I["vest"] - J["vest"]  # momentum-velocity difference [3, ...]
     delVdotDelR = _dot3(dx, velvec)
 
     # transport tensor force (:370-377): ft[m] = (Vi2+Vj2) wfd sum_n T[m,n] dx[n]
     # with T[m,n] = 0.5 (rho_i vest_i[m] (v_i[n]-vest_i[n]) + rho_j ...).
-    a_i = rhoi[..., None] * I["vest"]  # [.., 3] (index m)
-    b_i = I["v"] - I["vest"]  # (index n)
-    a_j = rhoj[..., None] * J["vest"]
-    b_j = J["v"] - J["vest"]
+    b_i_dot_dx = _dot3(I["v"] - I["vest"], dx)
+    b_j_dot_dx = _dot3(J["v"] - J["vest"], dx)
     tdotx = 0.5 * (
-        a_i * _dot3(b_i, dx)[..., None] + a_j * _dot3(b_j, dx)[..., None]
+        (rhoi * b_i_dot_dx)[None] * I["vest"]
+        + (rhoj * b_j_dot_dx)[None] * J["vest"]
     )
-    ftransport = ((Vi2 + Vj2) * wfd)[..., None] * tdotx
+    ftransport = ((Vi2 + Vj2) * wfd)[None] * tdotx
 
     # inter-particle viscosity, Adami 2013 (:387)
     eta = params.visc.reshape(-1)[tp]
@@ -290,28 +309,23 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
     #   * sum_k dx[k] (AS_i[k,m] + AS_j[k,m])
     if cfg.solids_present:
         wdelta = lucy_w(h / cfg.wdelta_ratio, h, dim)
-        AS_sum = I["AS"] + J["AS"]  # [NC, ci, cj, 3, 3]
-        xdotAS = jnp.einsum("...k,...km->...m", dx, AS_sum)
-        f_art = (mi * mj * wfd * (wf / wdelta) ** 4)[..., None] * xdotAS
+        xdotAS = _xdot_tensor(dx, I["AS"] + J["AS"])
+        f_art = (mi * mj * wfd * (wf / wdelta) ** 4)[None] * xdotAS
     else:
         f_art = 0.0
 
     # fluid-branch force (:497-501)
-    f_fluid = (
-        (-fpair)[..., None] * dx + fvisc[..., None] * velvec + ftransport + f_art
-    )
+    f_fluid = (-fpair)[None] * dx + fvisc[None] * velvec + ftransport + f_art
     if cfg.thermal:
         f_fluid = f_fluid + f_random
 
     if cfg.solids_present:
         # solid-branch force (:504-529)
         if cfg.elastic_present:
-            Ssum = (
-                I["S"] / (rhoi * rhoi)[..., None, None]
-                + J["S"] / (rhoj * rhoj)[..., None, None]
-            )
-            xdotDev = jnp.einsum("...k,...km->...m", dx, Ssum)
-            f_dev = (mi * mj * wfd)[..., None] * xdotDev
+            inv_i = (1.0 / (rhoi * rhoi))
+            inv_j = (1.0 / (rhoj * rhoj))
+            Ssum = I["S"] * inv_i[None, None] + J["S"] * inv_j[None, None]
+            f_dev = (mi * mj * wfd)[None] * _xdot_tensor(dx, Ssum)
         else:
             f_dev = 0.0
         # Pereira 2017 artificial viscosity for solids (:516-522)
@@ -322,31 +336,44 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             / (rhoi + rhoj),
             0.0,
         )
-        f_solid = (-fpair - fviscs)[..., None] * dx + f_dev + f_art
-        fsum = jnp.where(solid_i[..., None], f_solid, f_fluid)
+        f_solid = (-fpair - fviscs)[None] * dx + f_dev + f_art
+        fsum = jnp.where(solid_i[None], f_solid, f_fluid)
     else:
         fsum = f_fluid
-    acc["f"] += jnp.sum(fsum, axis=2)
+    acc["f"] += jnp.sum(fsum, axis=RED)
 
     # Jaumann deviatoric stress rate (:433-451)
     if cfg.elastic_present:
         dvest = -velvec  # vest_j - vest_i
         # strain/rotation: 0.5 (mj/rhoj) wfd (dvest[m] dx[n] +/- dvest[n] dx[m])
-        pref = (0.5 * (mj / rhoj) * wfd)[..., None, None]
-        outer = dvest[..., :, None] * dx[..., None, :]
-        strain = pref * (outer + jnp.swapaxes(outer, -1, -2))
-        rot = pref * (outer - jnp.swapaxes(outer, -1, -2))
+        pref = 0.5 * (mj / rhoj) * wfd
         geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
-        eye = jnp.eye(3, dtype=f32)
-        elastic = (2.0 * geff)[..., None, None] * (strain * (1.0 - eye / 3.0))
-        # S_i[m,k] rot[n,k] + rot[m,k] S_i[k,n]
-        Si = jnp.broadcast_to(I["S"], rot.shape)
-        sdr = jnp.einsum("...mk,...nk->...mn", Si, rot)
-        rds = jnp.einsum("...mk,...kn->...mn", rot, Si)
-        dS_pair = jnp.where(
-            solid_i[..., None, None], elastic + sdr + rds, 0.0
-        )
-        acc["dS"] += jnp.sum(dS_pair, axis=2)
+        two_geff = 2.0 * geff
+        # unrolled 3x3: elastic + S.rot^T + rot.S  (S symmetric is not
+        # assumed; matches the reference's componentwise updates)
+        outer = [[dvest[a] * dx[b] for b in range(3)] for a in range(3)]
+        strain = [
+            [pref * (outer[a][b] + outer[b][a]) for b in range(3)]
+            for a in range(3)
+        ]
+        rot = [
+            [pref * (outer[a][b] - outer[b][a]) for b in range(3)]
+            for a in range(3)
+        ]
+        Si = I["S"]
+        rows = []
+        for mm in range(3):
+            cols = []
+            for nn in range(3):
+                el = two_geff * strain[mm][nn] * (1.0 if mm != nn else (1.0 - 1.0 / 3.0))
+                sdr = sum(Si[mm, k] * rot[nn][k] for k in range(3))
+                rds = sum(rot[mm][k] * Si[k, nn] for k in range(3))
+                cols.append(
+                    jnp.where(solid_i, el + sdr + rds, 0.0)
+                )
+            rows.append(jnp.stack(cols, axis=0))
+        dS_pair = jnp.stack(rows, axis=0)  # [3, 3, ci, cj, NC]
+        acc["dS"] += jnp.sum(dS_pair, axis=RED)
 
     # density evolution, "new density formulation" (:547-555)
     dvt = I["v"] - J["v"]  # transport-velocity difference
@@ -368,18 +395,18 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             / rhoj
         )
     drho = drho - (mj / rhoj) * (corr_i + corr_j) * wfd
-    acc["drho"] += jnp.sum(drho, axis=2)
+    acc["drho"] += jnp.sum(drho, axis=RED)
 
     # energy accumulation (:557-559)
     acc["de"] += jnp.sum(
-        -0.5 * (fpair * delVdotDelR + fvisc * _dot3(velvec, velvec)), axis=2
+        -0.5 * (fpair * delVdotDelR + fvisc * _dot3(velvec, velvec)), axis=RED
     )
 
     # BVF volume fraction and wall normal (:562-576)
     if cfg.solids_present:
         fs = (I["fluid"] & solid_j).astype(f32)
-        acc["phi"] += jnp.sum(fs * Vj2 * wfBvf, axis=2)
-        acc["nw"] += jnp.sum((fs * wfd * Vj2)[..., None] * dx, axis=2)
+        acc["phi"] += jnp.sum(fs * Vj2 * wfBvf, axis=RED)
+        acc["nw"] += jnp.sum((fs * wfd * Vj2)[None] * dx, axis=RED)
 
     # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
     if params.n_sdpd > 0 or params.n_ssa > 0:
@@ -394,26 +421,29 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             / (rsq + 0.01 * hc * hc)
         )
     if params.n_sdpd > 0:
-        kap = params.kappa.reshape(-1, params.n_sdpd)[tp]  # [NC,ci,cj,Ns]
-        dQ = kap * (I["C"] - J["C"]) * dQc_base[..., None]
+        # kappa lookup as [Ns, ci, cj, NC]
+        kap = jnp.moveaxis(params.kappa, -1, 0).reshape(params.n_sdpd, -1)[:, tp]
+        dQ = kap * (I["C"] - J["C"]) * dQc_base[None]
         if cfg.species_advection:
             # advection correction (tv only, :714-715):
             # -(mj/rhoj) (C_i (vest_i-v_i).dx + C_j (vest_j-v_j).dx) wfd_c
             corr_ip = _dot3(I["vest"] - I["v"], dx)
             corr_jp = _dot3(J["vest"] - J["v"], dx)
-            dQ = dQ - ((mj / rhoj) * wfd_c)[..., None] * (
-                I["C"] * corr_ip[..., None] + J["C"] * corr_jp[..., None]
+            dQ = dQ - ((mj / rhoj) * wfd_c)[None] * (
+                I["C"] * corr_ip[None] + J["C"] * corr_jp[None]
             )
-        acc["Q"] += jnp.sum(dQ, axis=2)
+        acc["Q"] += jnp.sum(dQ, axis=RED)
 
     # stochastic diffusion hops (core/ssa.py; reference fills the D-matrix
     # here and runs a serial Gillespie afterwards, :721-809)
     if params.n_ssa > 0:
         from sph_bvf_tpu.core.ssa import pair_hop_counts
 
-        kss = params.kappa_ssa.reshape(-1, params.n_ssa)[tp]  # [NC,ci,cj,S]
-        lam = kss * (-dQc_base)[..., None] * dt  # per-molecule hop prob rate
-        sp = jnp.arange(params.n_ssa, dtype=jnp.uint32)
+        kss = jnp.moveaxis(params.kappa_ssa, -1, 0).reshape(params.n_ssa, -1)[:, tp]
+        lam = kss * (-dQc_base)[None] * dt  # per-molecule hop prob rate
+        sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
+            (params.n_ssa,) + (1,) * (tp.ndim)
+        )
         n_out = pair_hop_counts(
             lam * I["Cd"].astype(f32), cfg.rng_seed, step,
             I["tag"], J["tag"], sp, cfg.ssa_poisson_terms,
@@ -422,7 +452,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             lam * J["Cd"].astype(f32), cfg.rng_seed, step,
             J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
         )
-        acc["Qd"] += jnp.sum(n_in - n_out, axis=2)
+        acc["Qd"] += jnp.sum(n_in - n_out, axis=RED)
 
     return acc
 
@@ -464,11 +494,11 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
     comps = []
     for l in range(3):
         if l < dim:
-            s = sum(W[l][k] * dx[..., k] for k in range(dim))
+            s = sum(W[l][k] * dx[k] for k in range(dim))
             comps.append(pref * s)
         else:
             comps.append(jnp.zeros_like(r))
-    return jnp.stack(comps, axis=-1)
+    return jnp.stack(comps, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +508,7 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
 
 def _pass_b_offset(I, J, cfg: PairConfig, params: Params, notself, acc):
     f32 = I["x"].dtype
+    RED = -2
     ti, tj = I["ptype"], J["ptype"]
     h = params.cut.reshape(-1)[ti * params.ntypes + tj]
     dx = I["x"] - J["x"]
@@ -490,8 +521,8 @@ def _pass_b_offset(I, J, cfg: PairConfig, params: Params, notself, acc):
         sel = sel & ~J["fixed"]
     w = sel.astype(f32) * wfBvf * J["V2"]
     mj = jnp.where(J["valid"], J["m"], 1.0)  # zero-padded ghosts (see pass A)
-    acc["vws"] += jnp.sum(w[..., None] * J["vest"], axis=2)
-    acc["aws"] += jnp.sum(w[..., None] * (J["f"] / mj[..., None]), axis=2)
+    acc["vws"] += jnp.sum(w[None] * J["vest"], axis=RED)
+    acc["aws"] += jnp.sum(w[None] * (J["f"] / mj[None]), axis=RED)
     return acc
 
 
@@ -530,11 +561,13 @@ def compute_forces(
     pf = _per_particle(state, params, cfg)
     I = {k: _bc(v, "i") for k, v in pf.items()}
 
-    # self-pair exclusion for the zero offset ([1, cap, cap])
-    not_diag = ~(jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :])[None]
+    # self-pair exclusion for the zero offset ([cap, cap, 1])
+    not_diag = ~(
+        jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :]
+    )[:, :, None]
 
-    def zeros(*extra):
-        return jnp.zeros((NC, cap) + extra, f32)
+    def zeros(*lead):
+        return jnp.zeros(lead + (cap, NC), f32)
 
     acc = dict(
         num_den=zeros(),
@@ -548,8 +581,8 @@ def compute_forces(
         de=zeros(),
         phi=zeros(),
         nw=zeros(3),
-        Q=jnp.zeros((NC, cap, params.n_sdpd), f32),
-        Qd=jnp.zeros((NC, cap, params.n_ssa), jnp.int32),
+        Q=jnp.zeros((params.n_sdpd, cap, NC), f32),
+        Qd=jnp.zeros((params.n_ssa, cap, NC), jnp.int32),
     )
 
     ja_fields = _pass_a_j_fields(params, cfg)
@@ -559,12 +592,16 @@ def compute_forces(
         acc = _pass_a_offset(I, J, params, cfg, state.dt, state.step, notself, acc)
 
     # ---- pass B needs the fresh forces ------------------------------------
-    pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "f"}
-    pf_b["f"] = acc["f"]
-    pf_b["fluid"] = pf["fluid"]
-    I_b = {k: _bc(v, "i") for k, v in pf_b.items()}
+    # vws/aws are consumed ONLY by the plain-bvf integrator's moving-wall
+    # reflection (fix_ssa_tsdpd_bvf.cpp:276-292); the reference pair styles
+    # compute sweep 3 unconditionally but the tv/mechanics/fsi integrators
+    # never read it, so it is skipped unless requested.
     acc_b = dict(vws=zeros(3), aws=zeros(3))
-    if cfg.solids_present:
+    if cfg.solids_present and cfg.weighted_solid:
+        pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "f"}
+        pf_b["f"] = acc["f"]
+        pf_b["fluid"] = pf["fluid"]
+        I_b = {k: _bc(v, "i") for k, v in pf_b.items()}
         for off in geom.stencil_offsets():
             J = {
                 k: _bc(shift_cells(pf_b[k], off, geom), "j")

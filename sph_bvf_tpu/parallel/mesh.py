@@ -31,18 +31,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
 
 
 def shard_state(state: State, mesh: Mesh, axis: str = "x") -> State:
-    """Place per-particle leaves sharded over the leading cell axis.
+    """Place per-particle leaves sharded over the trailing flat-cell axis.
 
     Requires geometry with ncells[0] divisible by the mesh size (use
-    Scene.ncx_multiple_of), so a contiguous block of the flattened cell axis
-    is exactly a slab of x-columns — the analog of the reference's brick
-    decomposition along x.
+    Scene.ncx_multiple_of): the flat cell index is x-major, so a contiguous
+    block of the cell axis is exactly a slab of x-columns — the analog of
+    the reference's brick decomposition along x (comm_brick.cpp:161).
     """
-    row = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    new = {
-        k: jax.device_put(v, row) for k, v in particle_fields(state).items()
-    }
+
+    def put(a):
+        spec = P(*([None] * (a.ndim - 1) + [axis]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    new = {k: put(v) for k, v in particle_fields(state).items()}
     out = dataclasses.replace(state, **new)
     for name in ("step", "dt", "key", "overflow"):
         object.__setattr__(out, name, jax.device_put(getattr(state, name), rep))

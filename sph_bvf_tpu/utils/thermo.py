@@ -12,7 +12,7 @@ def thermo_row(state, params):
     """Global diagnostics computed on device; returns small dict of floats."""
     valid = state.valid
     n = jnp.sum(valid)
-    vsq = jnp.where(valid, jnp.sum(state.v * state.v, axis=-1), 0.0)
+    vsq = jnp.where(valid, jnp.sum(state.v * state.v, axis=0), 0.0)
     m = params.mass[state.ptype]
     ke = 0.5 * jnp.sum(jnp.where(valid, m * vsq, 0.0))
     rho = jnp.where(valid, state.rho, jnp.nan)

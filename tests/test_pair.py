@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sph_bvf_tpu.core.state import Geometry, Params, state_from_particles, gather_particles
+from sph_bvf_tpu.core.state import (
+    Geometry, Params, scatter_by_tag, state_from_particles, gather_particles)
 from sph_bvf_tpu.ops.pair import PairConfig, compute_forces
 from sph_bvf_tpu.ops.eos import tait_b
 
@@ -56,26 +57,21 @@ def build_state_params(sys, ns=1):
     )
     st = state_from_particles(geom, sys["x"], sys["ptype"], n_sdpd=ns, dtype=jnp.float64)
     # assign per-particle fields in the binned order via tag lookup
-    order = np.asarray(st.tag).reshape(-1) - 1  # tag = original index + 1
-    valid = np.asarray(st.valid).reshape(-1)
-
-    def binned(arr, extra=()):
-        out = np.zeros((order.shape[0],) + arr.shape[1:], arr.dtype)
-        out[valid] = arr[order[valid]]
-        return jnp.asarray(out.reshape(st.x.shape[:2] + arr.shape[1:]))
-
-    v3 = sys["v"]
-    vest3 = sys["vest"]
+    st = scatter_by_tag(
+        st,
+        v=sys["v"].astype(np.float64),
+        vest=sys["vest"].astype(np.float64),
+        rho=sys["rho"].astype(np.float64),
+        rhoI=sys["rhoI"].astype(np.float64),
+        C=sys["C"].astype(np.float64),
+        S=sys["S"].astype(np.float64),
+        solid_tag=sys["solid"].astype(np.int32),
+        fixed_tag=sys["fixed"].astype(np.int32),
+    )
     st = dataclasses.replace(
         st,
-        v=binned(v3.astype(np.float64)),
-        vest=binned(vest3.astype(np.float64)),
-        rho=jnp.where(st.valid, binned(sys["rho"].astype(np.float64)), 1.0),
-        rhoI=jnp.where(st.valid, binned(sys["rhoI"].astype(np.float64)), 1.0),
-        C=binned(sys["C"].astype(np.float64)),
-        S=binned(sys["S"].astype(np.float64)),
-        solid_tag=binned(sys["solid"].astype(np.int32)),
-        fixed_tag=binned(sys["fixed"].astype(np.int32)),
+        rho=jnp.where(st.valid, st.rho, 1.0),
+        rhoI=jnp.where(st.valid, st.rhoI, 1.0),
         dt=jnp.asarray(1e-4, jnp.float64),
     )
     params = Params(
@@ -150,7 +146,7 @@ def test_momentum_conservation_compressed_fluid():
     cfg = PairConfig.transport_velocity(dim=2, solids_present=False,
                                         elastic_present=False)
     out = compute_forces(st, params, geom, cfg)
-    f = np.asarray(jnp.where(out.valid[..., None], out.f, 0.0))
-    ftot = np.abs(f.sum(axis=(0, 1)))
+    f = np.asarray(jnp.where(out.valid[None], out.f, 0.0))
+    ftot = np.abs(f.sum(axis=(1, 2)))
     fscale = np.abs(f).max()
     assert ftot.max() < 5e-4 * max(fscale, 1e-10), (ftot, fscale)

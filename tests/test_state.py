@@ -52,7 +52,7 @@ def test_particles_land_in_their_cell():
     x = rng.uniform(0, 1, size=(100, 2))
     st = state_from_particles(g, x, np.zeros(100, int))
     NC, cap = g.ncells_total, g.cap
-    cell_of_slot = jnp.repeat(jnp.arange(NC), cap).reshape(NC, cap)
+    cell_of_slot = jnp.broadcast_to(jnp.arange(NC), (cap, NC))
     computed = cell_index_of(st.x, g)
     ok = jnp.where(st.valid, computed == cell_of_slot, True)
     assert bool(jnp.all(ok))
@@ -63,13 +63,13 @@ def test_rebin_moves_particles():
     x = np.array([[0.1, 0.1], [0.9, 0.9]])
     st = state_from_particles(g, x, np.zeros(2, int))
     # teleport particle 1 across the box, then rebin
-    newx = st.x + jnp.where(st.tag[..., None] == 1, 0.8, 0.0)
+    newx = st.x + jnp.where(st.tag[None] == 1, 0.8, 0.0)
     st2 = rebin(dataclasses.replace(st, x=newx), g)
     assert int(st2.n_valid) == 2
     out = gather_particles(st2, g, fields=("x",))
     np.testing.assert_allclose(out["x"][0, :2], [0.9, 0.9], atol=1e-6)
-    cell_of_slot = jnp.repeat(jnp.arange(g.ncells_total), g.cap).reshape(
-        g.ncells_total, g.cap
+    cell_of_slot = jnp.broadcast_to(
+        jnp.arange(g.ncells_total), (g.cap, g.ncells_total)
     )
     ok = jnp.where(st2.valid, cell_index_of(st2.x, g) == cell_of_slot, True)
     assert bool(jnp.all(ok))
@@ -85,13 +85,13 @@ def test_rebin_overflow_detected():
 def test_shift_cells_nonperiodic():
     g = make_geom()
     NC, cap = g.ncells_total, g.cap
-    a = jnp.arange(NC * cap, dtype=jnp.float32).reshape(NC, cap)
+    a = jnp.arange(cap * NC, dtype=jnp.float32).reshape(cap, NC)
     s = shift_cells(a, (1, 0, 0), g)
     # cell (cx, cy) must now hold data of cell (cx+1, cy)
-    grid = a.reshape(4, 4, cap)
-    sgrid = np.asarray(s).reshape(4, 4, cap)
-    np.testing.assert_array_equal(sgrid[:3], np.asarray(grid[1:]))
-    np.testing.assert_array_equal(sgrid[3], 0.0)  # ghost ring
+    grid = np.asarray(a).reshape(cap, 4, 4)
+    sgrid = np.asarray(s).reshape(cap, 4, 4)
+    np.testing.assert_array_equal(sgrid[:, :3], grid[:, 1:])
+    np.testing.assert_array_equal(sgrid[:, 3], 0.0)  # ghost ring
 
 
 def test_shift_cells_periodic():
@@ -104,12 +104,12 @@ def test_shift_cells_periodic():
         periodic=(True, False, False),
     )
     NC, cap = g.ncells_total, g.cap
-    a = jnp.arange(NC * cap, dtype=jnp.float32).reshape(NC, cap)
+    a = jnp.arange(cap * NC, dtype=jnp.float32).reshape(cap, NC)
     s = shift_cells(a, (-1, 0, 0), g)
-    grid = np.asarray(a).reshape(4, 4, cap)
-    sgrid = np.asarray(s).reshape(4, 4, cap)
-    np.testing.assert_array_equal(sgrid[1:], grid[:3])
-    np.testing.assert_array_equal(sgrid[0], grid[3])  # wrapped
+    grid = np.asarray(a).reshape(cap, 4, 4)
+    sgrid = np.asarray(s).reshape(cap, 4, 4)
+    np.testing.assert_array_equal(sgrid[:, 1:], grid[:, :3])
+    np.testing.assert_array_equal(sgrid[:, 0], grid[:, 3])  # wrapped
 
 
 def test_rebin_jits():
