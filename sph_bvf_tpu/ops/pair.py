@@ -94,6 +94,8 @@ class PairConfig:
     # compute sweep 3 at all (only the plain-bvf integrator consumes vws/aws;
     # the scene builder enables this when that integrator is selected).
     weighted_solid: bool = True
+    # use the Pallas pass-A kernel when eligible (ops/pair_pallas.py)
+    use_pallas: bool = True
     # static model hints (skip dead code paths entirely)
     solids_present: bool = True
     elastic_present: bool = True
@@ -218,25 +220,45 @@ def _xdot_tensor(dx, T):
     )
 
 
+def lookup_pair_coeffs(ti, tj, params: Params):
+    """Gather the per-type-pair tables for pair-shaped type indices."""
+    tp = ti * params.ntypes + tj
+    out = dict(
+        h=params.cut.reshape(-1)[tp],
+        eta=params.visc.reshape(-1)[tp],
+        hc=params.cutc.reshape(-1)[tp],
+    )
+    if params.n_sdpd > 0:
+        out["kap"] = jnp.moveaxis(params.kappa, -1, 0).reshape(
+            params.n_sdpd, -1
+        )[:, tp]
+    if params.n_ssa > 0:
+        out["kss"] = jnp.moveaxis(params.kappa_ssa, -1, 0).reshape(
+            params.n_ssa, -1
+        )[:, tp]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # pass A: fused sweeps 1 + 2 (+ species transport)
 # ---------------------------------------------------------------------------
 
 
-def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc):
+def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc):
     """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
 
     Pair blocks are [ci, cj, NC] (components leading); reductions are over
-    the cj axis (axis -2 of the scalar block).
+    the cj axis (axis -2 of the scalar block).  ``coeffs`` holds the
+    per-pair coefficient tables already looked up for this offset's type
+    pairs (h, eta, hc, kap, kss) — the jnp driver gathers them from the
+    Params tables; the Pallas driver builds them with select chains
+    (dynamic gathers are not available inside Mosaic kernels).
     """
     f32 = I["x"].dtype
     dim = cfg.dim
     RED = -2  # the cj axis of a scalar pair block
 
-    ti, tj = I["ptype"], J["ptype"]
-    T = params.ntypes
-    tp = ti * T + tj  # flattened type-pair index [ci, cj, NC]
-    h = params.cut.reshape(-1)[tp]
+    h = coeffs["h"]
 
     dx = I["x"] - J["x"]  # [3, ci, cj, NC]
     rsq = _dot3(dx, dx)
@@ -286,8 +308,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
     ftransport = ((Vi2 + Vj2) * wfd)[None] * tdotx
 
     # inter-particle viscosity, Adami 2013 (:387)
-    eta = params.visc.reshape(-1)[tp]
-    fvisc = (Vi2 + Vj2) * eta * wfd
+    fvisc = (Vi2 + Vj2) * coeffs["eta"] * wfd
 
     # pressure force, Zhang 2017 (+ Sun 2018 switch in the tv variant, :395-399)
     fi_term = Pi / (rhoi * rhoi)
@@ -410,7 +431,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
 
     # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
     if params.n_sdpd > 0 or params.n_ssa > 0:
-        hc = params.cutc.reshape(-1)[tp]
+        hc = coeffs["hc"]
         wfd_c = lucy_wfd(r, hc, dim) * mask
         dQc_base = (
             2.0
@@ -421,8 +442,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
             / (rsq + 0.01 * hc * hc)
         )
     if params.n_sdpd > 0:
-        # kappa lookup as [Ns, ci, cj, NC]
-        kap = jnp.moveaxis(params.kappa, -1, 0).reshape(params.n_sdpd, -1)[:, tp]
+        kap = coeffs["kap"]  # [Ns, ci, cj, NC]
         dQ = kap * (I["C"] - J["C"]) * dQc_base[None]
         if cfg.species_advection:
             # advection correction (tv only, :714-715):
@@ -439,7 +459,7 @@ def _pass_a_offset(I, J, params: Params, cfg: PairConfig, dt, step, notself, acc
     if params.n_ssa > 0:
         from sph_bvf_tpu.core.ssa import pair_hop_counts
 
-        kss = jnp.moveaxis(params.kappa_ssa, -1, 0).reshape(params.n_ssa, -1)[:, tp]
+        kss = coeffs["kss"]  # [Nssa, ci, cj, NC]
         lam = kss * (-dQc_base)[None] * dt  # per-molecule hop prob rate
         sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
             (params.n_ssa,) + (1,) * (tp.ndim)
@@ -506,11 +526,10 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
 # ---------------------------------------------------------------------------
 
 
-def _pass_b_offset(I, J, cfg: PairConfig, params: Params, notself, acc):
+def _pass_b_offset(I, J, coeffs, cfg: PairConfig, params: Params, notself, acc):
     f32 = I["x"].dtype
     RED = -2
-    ti, tj = I["ptype"], J["ptype"]
-    h = params.cut.reshape(-1)[ti * params.ntypes + tj]
+    h = coeffs["h"]
     dx = I["x"] - J["x"]
     r = jnp.sqrt(_dot3(dx, dx))
     mask = (I["valid"] & J["valid"] & notself).astype(f32)
@@ -585,11 +604,19 @@ def compute_forces(
         Qd=jnp.zeros((params.n_ssa, cap, NC), jnp.int32),
     )
 
-    ja_fields = _pass_a_j_fields(params, cfg)
-    for off in geom.stencil_offsets():
-        J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
-        notself = not_diag if off == (0, 0, 0) else True
-        acc = _pass_a_offset(I, J, params, cfg, state.dt, state.step, notself, acc)
+    from sph_bvf_tpu.ops.pair_pallas import pallas_eligible, pass_a_pallas
+
+    if cfg.use_pallas and pallas_eligible(state, params, geom, cfg):
+        acc.update(pass_a_pallas(pf, params, geom, cfg))
+    else:
+        ja_fields = _pass_a_j_fields(params, cfg)
+        for off in geom.stencil_offsets():
+            J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
+            notself = not_diag if off == (0, 0, 0) else True
+            coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params)
+            acc = _pass_a_offset(
+                I, J, coeffs, params, cfg, state.dt, state.step, notself, acc
+            )
 
     # ---- pass B needs the fresh forces ------------------------------------
     # vws/aws are consumed ONLY by the plain-bvf integrator's moving-wall
@@ -608,7 +635,8 @@ def compute_forces(
                 for k in _PASS_B_J_FIELDS
             }
             notself = not_diag if off == (0, 0, 0) else True
-            acc_b = _pass_b_offset(I_b, J, cfg, params, notself, acc_b)
+            coeffs = lookup_pair_coeffs(I_b["ptype"], J["ptype"], params)
+            acc_b = _pass_b_offset(I_b, J, coeffs, cfg, params, notself, acc_b)
 
     return dataclasses.replace(
         state,

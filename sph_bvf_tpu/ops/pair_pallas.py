@@ -1,0 +1,297 @@
+"""Pallas TPU kernel for pair pass A (fused sweeps 1+2 + species transport).
+
+Why: under plain XLA the pair physics compiles to ~150 small fusions, each
+materializing [ci, cj, NC] temporaries to HBM (~9 ms/step at 42k particles).
+This kernel walks the flat cell axis in lane blocks, stages each block plus
+its stencil halo in VMEM once, and evaluates *all* stencil offsets and all
+physics terms against on-chip data — the temporaries never touch HBM.
+
+Design:
+  * All per-particle inputs are packed into one f32 matrix PF [F, cap, NC]
+    (components as rows).  PF is lane-padded by one block on each side and
+    the same padded array is passed THREE times with block index maps
+    (b, b+1, b+2): the three consecutive VMEM blocks cover every stencil
+    window because the maximum flat-cell offset (strides summed) is < BLK.
+    This expresses an overlapping halo with ordinary BlockSpecs — no manual
+    DMA — at the cost of re-reading PF 3x (a few MB; negligible).
+  * The reference physics itself is the SAME code as the jnp path
+    (`_pass_a_offset` in ops/pair.py) — inside a Mosaic kernel jnp ops
+    lower to VPU vector ops directly.  Only the per-type-pair coefficient
+    lookups differ: Mosaic has no dynamic gather, so the [T, T] tables are
+    read with an unrolled select chain over the (tiny) type-pair space.
+  * Stencil neighbor access is a static lane slice of the staged block —
+    the in-kernel equivalent of `shift_cells`, with the per-axis bounds
+    masks applied to the J validity row.
+  * Accumulators live in registers/VMEM for the whole block and are written
+    once to the packed output matrix [A, cap, NC].
+
+Eligibility (falls back to the jnp path otherwise): f32 state, no thermal
+noise, no SSA species, no periodic axes with more than one cell (a periodic
+wrap along a multi-cell axis needs lanes outside the 3-block halo), and a
+TPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sph_bvf_tpu.core.state import Geometry, Params, State
+
+
+_SCALAR_ACCS = frozenset(
+    ("num_den", "rhoAux1", "rhoAux2", "drho", "de", "phi")
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
+    if state.x.dtype != jnp.float32:
+        return False
+    if cfg.thermal or params.n_ssa > 0:
+        return False
+    if any(p and n > 1 for p, n in zip(geom.periodic, geom.ncells)):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
+    """(name, nrows) for every per-particle field staged in the PF matrix."""
+    rows = [
+        ("valid", 1), ("ptype", 1), ("solid", 1),
+        ("x", 3), ("v", 3), ("vest", 3),
+        ("rho", 1), ("rhoI", 1),
+        ("m", 1), ("B", 1), ("c0", 1), ("P", 1), ("V2", 1),
+    ]
+    if cfg.solids_present:
+        rows.append(("AS", 9))
+    if cfg.elastic_present:
+        rows += [("S", 9), ("G0", 1)]
+    if params.n_sdpd > 0:
+        rows.append(("C", params.n_sdpd))
+    return rows
+
+
+def _acc_layout(params: Params, cfg) -> List[Tuple[str, int]]:
+    rows = [
+        ("num_den", 1), ("rhoAux1", 1), ("rhoAux2", 1),
+        ("ddv", 3), ("f", 3), ("drho", 1), ("de", 1),
+    ]
+    if cfg.xsph:
+        rows.append(("ddx", 3))
+    if cfg.solids_present:
+        rows += [("phi", 1), ("nw", 3)]
+    if cfg.elastic_present:
+        rows.append(("dS", 9))
+    if params.n_sdpd > 0:
+        rows.append(("Q", params.n_sdpd))
+    return rows
+
+
+def _pack(pf: Dict[str, jax.Array], layout, cap: int, NC: int) -> jax.Array:
+    mats = []
+    for name, nrows in layout:
+        a = pf[name]
+        a = a.reshape(-1, cap, NC).astype(jnp.float32)
+        assert a.shape[0] == nrows, (name, a.shape, nrows)
+        mats.append(a)
+    return jnp.concatenate(mats, axis=0)
+
+
+def _row_ranges(layout) -> Dict[str, Tuple[int, int]]:
+    out, r = {}, 0
+    for name, nrows in layout:
+        out[name] = (r, r + nrows)
+        r += nrows
+    return out
+
+
+def _select_table(tp, table_ref, T: int):
+    """table[ti, tj] without gathers: unrolled select over the T*T pairs."""
+    out = jnp.zeros_like(tp)
+    for a in range(T):
+        for b in range(T):
+            out = jnp.where(tp == float(a * T + b), table_ref[a, b], out)
+    return out
+
+
+def _select_table_rows(tp, table_ref, T: int, nsp: int):
+    """table[ti, tj, :] -> [nsp, *tp.shape] via the same select chain."""
+    comps = []
+    for s in range(nsp):
+        out = jnp.zeros_like(tp)
+        for a in range(T):
+            for b in range(T):
+                out = jnp.where(tp == float(a * T + b), table_ref[a * T + b, s], out)
+        comps.append(out)
+    return jnp.stack(comps, axis=0)
+
+
+def pass_a_pallas(
+    pf: Dict[str, jax.Array],
+    params: Params,
+    geom: Geometry,
+    cfg,
+    block: int = 128,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Run pass A as one Pallas kernel; returns the accumulator dict."""
+    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset
+
+    NC, cap = geom.ncells_total, geom.cap
+    T = params.ntypes
+    nx, ny, nz = geom.ncells
+    sx, sy, sz = geom.strides
+    offsets = geom.stencil_offsets()
+    max_off = sum(
+        s for s, n in zip(geom.strides, geom.ncells) if n > 1
+    )
+    BLK = max(block, _round_up(max_off + 1, 128))
+    NC_pad = _round_up(NC, BLK)
+    grid = NC_pad // BLK
+
+    fl = _field_layout(params, cfg)
+    al = _acc_layout(params, cfg)
+    frow = _row_ranges(fl)
+    arow = _row_ranges(al)
+    F = sum(n for _, n in fl)
+    A = sum(n for _, n in al)
+
+    PF = _pack(pf, fl, cap, NC)
+    # pad: one full block on each side (halo), plus NC -> NC_pad on the right
+    PF = jnp.pad(PF, ((0, 0), (0, 0), (BLK, BLK + NC_pad - NC)))
+
+    tables = jnp.stack(
+        [params.cut, params.visc, params.cutc], axis=0
+    ).astype(jnp.float32)  # [3, T, T]
+    kap = (
+        params.kappa.reshape(T * T, params.n_sdpd).astype(jnp.float32)
+        if params.n_sdpd > 0
+        else jnp.zeros((T * T, 1), jnp.float32)
+    )
+
+    def unpack(buf, lo, hi):
+        """Rows of the staged block -> field dict of [*, cap, W] arrays."""
+        out = {}
+        for name, nrows in fl:
+            r0, r1 = frow[name]
+            a = buf[r0:r1, :, lo:hi]
+            if name in ("AS", "S"):
+                out[name] = a.reshape((3, 3) + a.shape[1:])
+            elif nrows == 1:
+                out[name] = a[0]
+            else:
+                out[name] = a
+        return out
+
+    def kernel(tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref):
+        b = pl.program_id(0)
+        # stage the 3-block halo window in VMEM
+        buf = jnp.concatenate([left_ref[:], mid_ref[:], right_ref[:]], axis=-1)
+
+        g = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        cz = g % nz
+        cy = (g // sy) % ny
+        cx = g // sx
+
+        ctr = unpack(buf, BLK, 2 * BLK)
+        Ifields = dict(ctr)
+        Ifields["valid"] = ctr["valid"] != 0.0
+        Ifields["solid"] = ctr["solid"] != 0.0
+        Ifields["fluid"] = ~Ifields["solid"]
+        I = {k: _bc(v, "i") for k, v in Ifields.items()}
+
+        not_diag = ~(
+            jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        )
+
+        acc = {}
+        for name, nrows in al:
+            if name in _SCALAR_ACCS:
+                shape = (cap, BLK)
+            elif name == "dS":
+                shape = (3, 3, cap, BLK)
+            else:
+                shape = (nrows, cap, BLK)
+            acc[name] = jnp.zeros(shape, jnp.float32)
+
+        for off in offsets:
+            off_flat = off[0] * sx + off[1] * sy + off[2] * sz
+            lo = BLK + off_flat
+            Jf = unpack(buf, lo, lo + BLK)
+            inb = jnp.ones((1, 1, BLK), bool)
+            for o, c, n in ((off[0], cx, nx), (off[1], cy, ny), (off[2], cz, nz)):
+                if o != 0:
+                    inb = inb & (c + o >= 0) & (c + o < n)
+            Jf["valid"] = (Jf["valid"] != 0.0) & inb
+            Jf["solid"] = Jf["solid"] != 0.0
+            J = {k: _bc(v, "j") for k, v in Jf.items()}
+
+            tp = I["ptype"] * float(T) + J["ptype"]
+            coeffs = dict(
+                h=_select_table(tp, tab_ref[0], T),
+                eta=_select_table(tp, tab_ref[1], T),
+                hc=_select_table(tp, tab_ref[2], T),
+            )
+            if params.n_sdpd > 0:
+                coeffs["kap"] = _select_table_rows(tp, kap_ref, T, params.n_sdpd)
+
+            notself = not_diag if off == (0, 0, 0) else True
+            acc = _pass_a_offset(
+                I, J, coeffs, params, cfg, 0.0, 0, notself, acc
+            )
+
+        for name, nrows in al:
+            r0, r1 = arow[name]
+            out_ref[r0:r1, :, :] = acc[name].reshape(nrows, cap, BLK)
+
+    blockspec = lambda shift: pl.BlockSpec(
+        (F, cap, BLK), lambda b: (0, 0, b + shift), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, T, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (T * T, kap.shape[1]), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),
+            blockspec(0),
+            blockspec(1),
+            blockspec(2),
+        ],
+        out_specs=pl.BlockSpec(
+            (A, cap, BLK), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((A, cap, NC_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(tables, kap, PF, PF, PF)
+
+    out = out[:, :, :NC]
+    result = {}
+    for name, nrows in al:
+        r0, r1 = arow[name]
+        a = out[r0:r1]
+        if name == "dS":
+            a = a.reshape(3, 3, cap, NC)
+        elif name in _SCALAR_ACCS:
+            a = a[0]
+        result[name] = a
+    return result
