@@ -39,7 +39,7 @@ def main():
     state, params, spec, sc = lid_cavity.build(N=N, Re=100.0, rebin_every=10)
     n_particles = int(state.n_valid)
 
-    state = setup(state, params, spec, dt=1e-4)
+    state = setup(state, params, spec, dt=sc._dt)
     # warmup (compile)
     state = run_chunk(state, params, spec, spec.rebin_every)
     _barrier(state)

@@ -17,10 +17,15 @@ from sph_bvf_tpu.api.scene import Region, Scene
 from sph_bvf_tpu.core.fixes import SetForce
 
 
-def build(N: int = 50, Re: float = 100.0, U0: float = 1.0, dt: float = 1e-4,
+def build(N: int = 50, Re: float = 100.0, U0: float = 1.0, dt: float | None = None,
           c0: float = 10.0, n_wall_layers: int = 3, rebin_every: int = 10,
           ncx_multiple_of: int = 1):
     """Returns (state, params, spec, scene)."""
+    if dt is None:
+        # dt = 1e-4 is the reference's value for its N <= 200 configs
+        # (lid_driven_cavity.lmp:20-23); finer grids need CFL-scaled steps
+        # (the startup lid discontinuity is marginal at 2e-2/N).
+        dt = 1e-4 if N <= 200 else 5e-3 / N
     L = 1.0
     nu = U0 * L / Re  # script: nu = 1e-2 at Re100 (:147)
     delta = L / N
