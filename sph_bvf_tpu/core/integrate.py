@@ -86,6 +86,20 @@ class IntegratorConfig:
         return IntegratorConfig(variant=BVF, **kw)
 
     @staticmethod
+    def artificial_stress(**kw):
+        """fix ssa_tsdpd/bvf/artificialStress — historical near-duplicate of
+        the plain bvf Verlet scheme (fix_ssa_tsdpd_bvf_artificial_stress.cpp;
+        diffs are formatting-level, bounce-back at :298,344)."""
+        return IntegratorConfig(variant=BVF, **kw)
+
+    @staticmethod
+    def zhang(**kw):
+        """fix ssa_tsdpd/bvf/zhang — near-duplicate of the transportVelocity
+        integrator (fix_ssa_tsdpd_bvf_zhang.cpp, a Zhang-2017 density-scheme
+        experiment with formatting-level diffs)."""
+        return IntegratorConfig(variant=TRANSPORT_VELOCITY, **kw)
+
+    @staticmethod
     def stationary(**kw):
         return IntegratorConfig(variant=STATIONARY, **kw)
 

@@ -147,9 +147,13 @@ def ssa_reactions(state: State, params: Params, cfg: SsaConfig) -> State:
     volume = params.mass[state.ptype] / state.rho
     dt = state.dt
 
+    seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(
+        state.key.reshape(-1)[0], jnp.uint32
+    )
+
     def uniforms(event, salt):
         return rand.uniform_01(
-            jnp.uint32(cfg.rng_seed),
+            seed_w,
             jnp.asarray(state.step, jnp.uint32),
             jnp.asarray(state.tag, jnp.uint32),
             jnp.uint32(event),

@@ -244,7 +244,7 @@ def lookup_pair_coeffs(ti, tj, params: Params):
 # ---------------------------------------------------------------------------
 
 
-def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc):
+def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0):
     """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
 
     Pair blocks are [ci, cj, NC] (components leading); reductions are over
@@ -322,7 +322,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
 
     # SDPD thermal random force (:406-431)
     if cfg.thermal:
-        f_random = _thermal_force(I, J, dx, r, h, wfd, params, cfg, dt, step)
+        f_random = _thermal_force(I, J, dx, r, h, wfd, params, cfg, dt, step, seed)
     else:
         f_random = 0.0
 
@@ -464,12 +464,13 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
         sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
             (params.n_ssa,) + (1,) * (tp.ndim)
         )
+        seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(seed, jnp.uint32)
         n_out = pair_hop_counts(
-            lam * I["Cd"].astype(f32), cfg.rng_seed, step,
+            lam * I["Cd"].astype(f32), seed_w, step,
             I["tag"], J["tag"], sp, cfg.ssa_poisson_terms,
         )
         n_in = pair_hop_counts(
-            lam * J["Cd"].astype(f32), cfg.rng_seed, step,
+            lam * J["Cd"].astype(f32), seed_w, step,
             J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
         )
         acc["Qd"] += jnp.sum(n_in - n_out, axis=RED)
@@ -477,7 +478,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     return acc
 
 
-def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, step):
+def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, step, seed=0):
     """SDPD random force (pair...transport_velocity.cpp:406-431).
 
     Wiener increment: symmetric dim x dim gaussian matrix, then traceless;
@@ -491,7 +492,8 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
     for a in range(dim):
         for b in range(a, dim):
             g = rand.pair_symmetric_normal(
-                cfg.rng_seed, step, I["tag"], J["tag"], salt
+                jnp.uint32(cfg.rng_seed) ^ jnp.asarray(seed, jnp.uint32),
+                step, I["tag"], J["tag"], salt,
             )
             W[a][b] = g
             W[b][a] = g
@@ -615,7 +617,8 @@ def compute_forces(
             notself = not_diag if off == (0, 0, 0) else True
             coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params)
             acc = _pass_a_offset(
-                I, J, coeffs, params, cfg, state.dt, state.step, notself, acc
+                I, J, coeffs, params, cfg, state.dt, state.step, notself, acc,
+                seed=state.key.reshape(-1)[0],
             )
 
     # ---- pass B needs the fresh forces ------------------------------------

