@@ -222,6 +222,16 @@ class Scene:
         self._x = [p for p, k in zip(self._x, keep) if k]
         self._type = [t for t, k in zip(self._type, keep) if k]
         self._groupmask = [g for g, k in zip(self._groupmask, keep) if k]
+        for key, arr in list(self._per_atom.items()):
+            if arr.shape[0] == keep.shape[0]:
+                self._per_atom[key] = arr[keep]
+        return self
+
+    def set_type(self, group: str, ptype: int):
+        """set group G type T (set.cpp type keyword)."""
+        sel = self.in_group(group)
+        for i in np.nonzero(sel)[0]:
+            self._type[i] = ptype - 1
         return self
 
     # -- groups -------------------------------------------------------------

@@ -284,8 +284,13 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
     S_mask = (free_solid | fixed_solid)[None, None]
     S = state.S + jnp.where(S_mask, dtf * state.dS, 0.0)
 
-    # density update table (:370-402 tv; fix...mechanics.cpp:391-448)
-    on_filter = (state.step % cfg.freq_filter) == 0
+    # density update table (:370-402 tv; fix...mechanics.cpp:391-448).
+    # fsi disables the Shepard filter with a huge cadence (fix...fsi.cpp:304)
+    # that would overflow i32 inside jit — treat it as "never".
+    if 0 < cfg.freq_filter <= 2**31 - 1:
+        on_filter = (state.step % cfg.freq_filter) == 0
+    else:
+        on_filter = jnp.zeros((), bool)
     aux = state.rhoAux1 / jnp.maximum(state.rhoAux2, 1e-30)
     if cfg.variant == TRANSPORT_VELOCITY:
         rho_free_f = jnp.where(on_filter, aux + dtf * state.drho,

@@ -1,0 +1,101 @@
+"""LAMMPS input-script front end tests.
+
+When the reference tree is present (/root/reference), the four shipped
+example scripts must parse, build, and step unmodified (grid sizes shrunk
+via the -var override mechanism).  A synthetic script covers the parser
+features independently of the reference tree.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from sph_bvf_tpu.api.lmp import LmpError, parse_script
+
+REF = "/root/reference/examples/ssa-tsdpd"
+
+SYNTHETIC = """
+dimension 2
+units si
+atom_style ssa_tsdpd/atomic 1 0 0
+boundary f f p
+variable L equal 1.0
+variable nx equal 12
+variable delta equal v_L/v_nx
+variable h equal "2.5*v_delta"
+variable rho0 equal 1.0
+region domain block 0 ${L} 0 ${L} 0 ${delta} units box
+create_box 2 domain
+lattice sq ${delta} origin 0.5 0.5 0.0
+region lower block EDGE EDGE 0 0.5 EDGE EDGE units box
+create_atoms 1 region lower
+region upper block EDGE EDGE 0.5 EDGE EDGE EDGE units box
+delete_atoms region upper
+create_atoms 2 region upper
+group bottom region lower
+group top subtract all bottom
+variable nb equal count(bottom)
+variable mi equal v_rho0*v_L*v_L/(2*v_nb)
+mass * ${mi}
+set group all ssa_tsdpd/rho ${rho0}
+set group all ssa_tsdpd/C 0 0.25
+set group top ssa_tsdpd/solid_tag 1 fixed
+pair_style ssa_tsdpd/bvf/transportVelocity
+pair_coeff * * ${rho0} 10.0 1e-2 ${h} ${h} 0.0 0.05
+fix integration all ssa_tsdpd/bvf/transportVelocity
+compute rhoatom all ssa_tsdpd/rho/atom
+compute c0atom all ssa_tsdpd/C/atom 0
+dump d1 all vtk 10 out*.vtk id type vx vy vz c_rhoatom c_c0atom
+thermo 100
+timestep 1e-4
+run 1000
+"""
+
+
+def test_synthetic_script(tmp_path):
+    model = parse_script(SYNTHETIC)
+    assert model.dt == 1e-4 and model.nsteps == 1000
+    assert model.variables["nb"] > 0
+    state, params, spec = model.run(max_steps=10, out_dir=str(tmp_path),
+                                    thermo=False)
+    assert int(state.overflow) == 0
+    vtks = glob.glob(os.path.join(tmp_path, "out*.vtk"))
+    assert vtks, "dump file not written"
+    from sph_bvf_tpu.io.vtk import read_vtk
+
+    pts, data = read_vtk(vtks[0])
+    assert set(data) >= {"id", "type", "vx", "vy", "vz", "c_rhoatom", "c_c0atom"}
+    assert np.allclose(data["c_rhoatom"].mean(), 1.0, atol=0.05)
+
+
+def test_unknown_command_raises():
+    with pytest.raises(LmpError, match="unsupported command"):
+        parse_script("bogus_command 1 2 3")
+
+
+def test_undefined_variable_raises():
+    with pytest.raises(LmpError, match="undefined variable"):
+        parse_script("variable a equal ${nope}")
+
+
+_REF_SCRIPTS = [
+    ("lid_driven_cavity/Re100_N50/lid_driven_cavity.lmp", {"nx": 16}),
+    ("natural_convection/Ra_10E4/natural_convection.lmp",
+     {"Nxint": 24, "Nyint": 24}),
+    ("fsi/fsi.lmp", {"nx": 20}),
+    ("cell_polarization/case_1/cell_polarization.lmp", {"nx": 30}),
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+@pytest.mark.parametrize("rel,overrides", _REF_SCRIPTS)
+def test_reference_example_scripts(rel, overrides, tmp_path):
+    with open(os.path.join(REF, rel)) as f:
+        model = parse_script(f.read(), overrides=overrides)
+    state, params, spec = model.run(max_steps=10, out_dir=str(tmp_path),
+                                    thermo=False)
+    assert int(state.overflow) == 0
+    assert int(state.step) == 10
+    assert glob.glob(os.path.join(tmp_path, "*.vtk"))
