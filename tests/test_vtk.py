@@ -1,0 +1,55 @@
+"""VTK IO: native C++ writer vs the pure-Python spec, and reader roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sph_bvf_tpu.io.vtk import _load_native, read_vtk, write_vtk
+
+
+def _sample(n=257):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.int32),
+        "type": rng.integers(1, 3, n).astype(np.int32),
+        "c_rhoatom": rng.uniform(0.9, 1.1, n).astype(np.float32),
+    }
+    return pts, data
+
+
+def test_python_writer_roundtrip(tmp_path):
+    pts, data = _sample()
+    p = os.path.join(tmp_path, "a.vtk")
+    write_vtk(p, pts, data, native=False)
+    rpts, rdata = read_vtk(p)
+    np.testing.assert_allclose(rpts, pts, atol=1e-6)
+    for k in data:
+        np.testing.assert_allclose(rdata[k], data[k], atol=1e-6)
+
+
+@pytest.mark.skipif(_load_native() is None, reason="no C++ toolchain")
+def test_native_matches_python(tmp_path):
+    pts, data = _sample()
+    pn = os.path.join(tmp_path, "native.vtk")
+    pp = os.path.join(tmp_path, "python.vtk")
+    assert write_vtk(pn, pts, data, native=True) is None
+    write_vtk(pp, pts, data, native=False)
+    a, b = read_vtk(pn), read_vtk(pp)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-7)
+    for k in data:
+        np.testing.assert_allclose(a[1][k], b[1][k], atol=1e-7)
+
+
+@pytest.mark.skipif(_load_native() is None, reason="no C++ toolchain")
+def test_native_binary_readable_by_numpy(tmp_path):
+    """Binary legacy VTK: spot-check the header and big-endian payload."""
+    pts, data = _sample(8)
+    p = os.path.join(tmp_path, "b.vtk")
+    write_vtk(p, pts, data, native=True, binary=True)
+    raw = open(p, "rb").read()
+    assert b"BINARY" in raw and b"POINTS 8 float" in raw
+    off = raw.index(b"POINTS 8 float\n") + len(b"POINTS 8 float\n")
+    got = np.frombuffer(raw[off : off + 8 * 3 * 4], dtype=">f4").reshape(8, 3)
+    np.testing.assert_allclose(got, pts, atol=1e-7)
