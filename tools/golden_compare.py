@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Golden-field comparison: this framework vs the reference C++ build.
+
+Runs the SAME lid-driven-cavity input on both implementations and diffs the
+per-particle fields — the acceptance criterion from BASELINE.md ("field-level
+match to reference VTK output").  The reference script's `dump vtk` is
+swapped for `dump custom` (text) so the C++ build doesn't need libvtk.
+
+Usage:
+    python tools/golden_compare.py [--lmp /tmp/lmpbuild/src/lmp_serial]
+                                   [--nx 50] [--steps 200] [--f64]
+
+Particles are matched by initial lattice position (ids are assigned in the
+same creation order on both sides, but position matching is robust to it).
+Reports max/mean relative differences for v and rho.
+"""
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_SCRIPT = (
+    "/root/reference/examples/ssa-tsdpd/lid_driven_cavity/Re100_N50/"
+    "lid_driven_cavity.lmp"
+)
+
+
+def make_cpp_script(nx: int, steps: int, outdir: str) -> str:
+    text = open(REF_SCRIPT).read()
+    text = text.replace("variable     nt equal 20000000",
+                        f"variable     nt equal {steps}")
+    text = text.replace("variable           nx equal 50",
+                        f"variable           nx equal {nx}")
+    text = re.sub(
+        r"dump\s+dmpvtk.*\n",
+        f"dump dmp all custom {steps} {outdir}/cpp_*.txt "
+        "id type x y z vx vy vz c_rhoatom c_phiatom\n",
+        text,
+    )
+    text = text.replace("thermo          ${freq_screen}", "thermo 1000")
+    path = os.path.join(outdir, "golden.lmp")
+    open(path, "w").write(text)
+    return path
+
+
+def read_dump_custom(path: str) -> dict:
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = lines.index("ITEM: NUMBER OF ATOMS")
+    n = int(lines[i + 1])
+    hdr = next(l for l in lines if l.startswith("ITEM: ATOMS"))
+    cols = hdr.split()[2:]
+    start = lines.index(hdr) + 1
+    data = np.loadtxt(lines[start : start + n])
+    return {c: data[:, k] for k, c in enumerate(cols)}
+
+
+def run_cpp(lmp_bin: str, nx: int, steps: int, outdir: str) -> dict:
+    script = make_cpp_script(nx, steps, outdir)
+    subprocess.run(
+        [lmp_bin, "-in", script, "-log", os.path.join(outdir, "log.lammps")],
+        check=True, cwd=outdir, capture_output=True,
+    )
+    dumps = sorted(glob.glob(os.path.join(outdir, "cpp_*.txt")),
+                   key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+    return read_dump_custom(dumps[0]), read_dump_custom(dumps[-1])
+
+
+def run_ours(nx: int, steps: int, f64: bool):
+    import jax
+
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from sph_bvf_tpu.core.state import gather_particles
+    from sph_bvf_tpu.core.stepper import run_chunk, setup
+    from sph_bvf_tpu.models import lid_cavity
+
+    state, params, spec, sc = lid_cavity.build(
+        N=nx, Re=100.0, dt=1e-4, rebin_every=10
+    )
+    if f64:
+        import dataclasses
+
+        state = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if a.dtype == jnp.float32
+            else a,
+            state,
+        )
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+    state = setup(state, params, spec, dt=1e-4)
+    init = gather_particles(state, spec.geom, fields=("x", "v", "rho"))
+    done = 0
+    while done < steps:
+        n = min(spec.rebin_every, steps - done)
+        state = run_chunk(state, params, spec, n)
+        done += n
+    out = gather_particles(state, spec.geom, fields=("x", "v", "rho", "phi"))
+    return init, out
+
+
+def match_by_position(x_ref: np.ndarray, x_ours: np.ndarray) -> np.ndarray:
+    """Index array m with ours[m[i]] at the same initial site as ref[i]."""
+    from scipy.spatial import cKDTree  # available via numpy/scipy? fall back
+
+    tree = cKDTree(x_ours)
+    d, m = tree.query(x_ref)
+    assert d.max() < 1e-8, f"initial positions mismatch: {d.max()}"
+    return m
+
+
+def match_by_sorted_order(x_ref, x_ours):
+    """Lexicographic position sort on both sides (no scipy needed)."""
+    def order(x):
+        return np.lexsort((x[:, 2].round(12), x[:, 1].round(12),
+                           x[:, 0].round(12)))
+    return order(x_ref), order(x_ours)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lmp", default="/tmp/lmpbuild/src/lmp_serial")
+    ap.add_argument("--nx", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args()
+
+    outdir = tempfile.mkdtemp(prefix="golden_")
+    print(f"workdir: {outdir}")
+
+    cpp0, cpp1 = run_cpp(args.lmp, args.nx, args.steps, outdir)
+    init, ours = run_ours(args.nx, args.steps, args.f64)
+
+    x_ref0 = np.stack([cpp0["x"], cpp0["y"], cpp0["z"]], axis=1)
+    # order both initial dumps identically; apply to the final dumps by id/tag
+    oref, oours = match_by_sorted_order(x_ref0, init["x"])
+    ref_ids = cpp0["id"][oref].astype(int)
+    our_tags = init["tag"][oours].astype(int)
+
+    id2row1 = {int(i): k for k, i in enumerate(cpp1["id"].astype(int))}
+    tag2row1 = {int(t): k for k, t in enumerate(ours["tag"].astype(int))}
+    rref = np.array([id2row1[i] for i in ref_ids])
+    rours = np.array([tag2row1[t] for t in our_tags])
+
+    v_ref = np.stack([cpp1["vx"], cpp1["vy"]], axis=1)[rref]
+    v_ours = ours["v"][rours][:, :2]
+    rho_ref = cpp1["c_rhoatom"][rref]
+    rho_ours = ours["rho"][rours]
+    phi_ref = cpp1["c_phiatom"][rref]
+    phi_ours = ours["phi"][rours]
+
+    vscale = np.abs(v_ref).max()
+    print(f"n={len(rref)} steps={args.steps} (ours {'f64' if args.f64 else 'f32'})")
+    for name, a, b, scale in [
+        ("v", v_ref, v_ours, vscale),
+        ("rho", rho_ref, rho_ours, 1.0),
+        ("phi", phi_ref, phi_ours, max(np.abs(phi_ref).max(), 1e-12)),
+    ]:
+        d = np.abs(a - b)
+        print(f"{name:4s} max|diff|={d.max():.3e}  mean|diff|={d.mean():.3e}  "
+              f"rel(max)={d.max()/scale:.3e}")
+
+
+if __name__ == "__main__":
+    main()
