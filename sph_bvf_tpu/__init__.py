@@ -32,3 +32,20 @@ Design (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from sph_bvf_tpu.core.state import State, Params, Geometry  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy convenience exports (keep bare `import sph_bvf_tpu` light)
+    if name == "Scene":
+        from sph_bvf_tpu.api.scene import Scene
+
+        return Scene
+    if name == "Region":
+        from sph_bvf_tpu.api.scene import Region
+
+        return Region
+    if name == "parse_script":
+        from sph_bvf_tpu.api.lmp import parse_script
+
+        return parse_script
+    raise AttributeError(name)

@@ -147,8 +147,11 @@ def ssa_reactions(state: State, params: Params, cfg: SsaConfig) -> State:
     volume = params.mass[state.ptype] / state.rho
     dt = state.dt
 
-    seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(
-        state.key.reshape(-1)[0], jnp.uint32
+    kw = state.key.reshape(-1)
+    seed_w = (
+        jnp.uint32(cfg.rng_seed)
+        ^ jnp.asarray(kw[0], jnp.uint32)
+        ^ jnp.asarray(kw[-1], jnp.uint32)
     )
 
     def uniforms(event, salt):

@@ -1,0 +1,18 @@
+"""The four paper-example model families (examples/ssa-tsdpd in the reference).
+
+Each module exposes ``build(...) -> (state, params, spec, scene)``.
+"""
+
+from sph_bvf_tpu.models import (  # noqa: F401
+    cell_polarization,
+    fsi,
+    lid_cavity,
+    natural_convection,
+)
+
+REGISTRY = {
+    "lid_cavity": lid_cavity.build,
+    "natural_convection": natural_convection.build,
+    "fsi": fsi.build,
+    "cell_polarization": cell_polarization.build,
+}

@@ -462,7 +462,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
         kss = coeffs["kss"]  # [Nssa, ci, cj, NC]
         lam = kss * (-dQc_base)[None] * dt  # per-molecule hop prob rate
         sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
-            (params.n_ssa,) + (1,) * (tp.ndim)
+            (params.n_ssa,) + (1,) * dQc_base.ndim
         )
         seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(seed, jnp.uint32)
         n_out = pair_hop_counts(
@@ -473,7 +473,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
             lam * J["Cd"].astype(f32), seed_w, step,
             J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
         )
-        acc["Qd"] += jnp.sum(n_in - n_out, axis=RED)
+        acc["Qd"] += jnp.sum(n_in - n_out, axis=RED).astype(jnp.int32)
 
     return acc
 
@@ -618,7 +618,7 @@ def compute_forces(
             coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params)
             acc = _pass_a_offset(
                 I, J, coeffs, params, cfg, state.dt, state.step, notself, acc,
-                seed=state.key.reshape(-1)[0],
+                seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
             )
 
     # ---- pass B needs the fresh forces ------------------------------------

@@ -24,3 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 # f64 on CPU so physics tests can compare against exact references; the
 # production path stays f32 (dtype follows the state arrays).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite compiles ~100 XLA programs; caching
+# them across runs/processes cuts repeat wall time severalfold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
