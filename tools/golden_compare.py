@@ -27,25 +27,42 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF_SCRIPT = (
-    "/root/reference/examples/ssa-tsdpd/lid_driven_cavity/Re100_N50/"
-    "lid_driven_cavity.lmp"
-)
+CASES = {
+    "lid_cavity": dict(
+        script="/root/reference/examples/ssa-tsdpd/lid_driven_cavity/"
+               "Re100_N50/lid_driven_cavity.lmp",
+        nt_line="variable     nt equal 20000000",
+        nx_lines=["variable           nx equal 50"],
+        dump_fields="id type x y z vx vy vz c_rhoatom c_phiatom",
+    ),
+    "natural_convection": dict(
+        script="/root/reference/examples/ssa-tsdpd/natural_convection/"
+               "Ra_10E4/natural_convection.lmp",
+        nt_line="variable     nt equal 10000000",
+        nx_lines=["variable           Nxint equal 200",
+                  "variable           Nyint equal 200"],
+        dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
+    ),
+}
 
 
-def make_cpp_script(nx: int, steps: int, outdir: str) -> str:
-    text = open(REF_SCRIPT).read()
-    text = text.replace("variable     nt equal 20000000",
-                        f"variable     nt equal {steps}")
-    text = text.replace("variable           nx equal 50",
-                        f"variable           nx equal {nx}")
+def make_cpp_script(case: dict, nx: int, steps: int, outdir: str) -> str:
+    text = open(case["script"]).read()
+    if case["nt_line"] not in text:
+        raise RuntimeError("nt line not found in reference script")
+    text = text.replace(case["nt_line"],
+                        re.sub(r"\d+$", str(steps), case["nt_line"]))
+    for line in case["nx_lines"]:
+        if line not in text:
+            raise RuntimeError(f"line not found: {line}")
+        text = text.replace(line, re.sub(r"\d+$", str(nx), line))
     text = re.sub(
         r"dump\s+dmpvtk.*\n",
         f"dump dmp all custom {steps} {outdir}/cpp_*.txt "
-        "id type x y z vx vy vz c_rhoatom c_phiatom\n",
+        + case["dump_fields"] + "\n",
         text,
     )
-    text = text.replace("thermo          ${freq_screen}", "thermo 1000")
+    text = re.sub(r"thermo\s+\$\{freq_screen\}", "thermo 1000", text)
     path = os.path.join(outdir, "golden.lmp")
     open(path, "w").write(text)
     return path
@@ -63,8 +80,8 @@ def read_dump_custom(path: str) -> dict:
     return {c: data[:, k] for k, c in enumerate(cols)}
 
 
-def run_cpp(lmp_bin: str, nx: int, steps: int, outdir: str) -> dict:
-    script = make_cpp_script(nx, steps, outdir)
+def run_cpp(lmp_bin: str, case: dict, nx: int, steps: int, outdir: str) -> dict:
+    script = make_cpp_script(case, nx, steps, outdir)
     subprocess.run(
         [lmp_bin, "-in", script, "-log", os.path.join(outdir, "log.lammps")],
         check=True, cwd=outdir, capture_output=True,
@@ -74,19 +91,17 @@ def run_cpp(lmp_bin: str, nx: int, steps: int, outdir: str) -> dict:
     return read_dump_custom(dumps[0]), read_dump_custom(dumps[-1])
 
 
-def run_ours(nx: int, steps: int, f64: bool):
+def run_ours(model: str, nx: int, steps: int, f64: bool):
     import jax
 
     if f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from sph_bvf_tpu.core.state import gather_particles
+    from sph_bvf_tpu.models import REGISTRY
     from sph_bvf_tpu.core.stepper import run_chunk, setup
-    from sph_bvf_tpu.models import lid_cavity
 
-    state, params, spec, sc = lid_cavity.build(
-        N=nx, Re=100.0, dt=1e-4, rebin_every=10
-    )
+    state, params, spec, sc = REGISTRY[model](N=nx, dt=1e-4, rebin_every=10)
     if f64:
         import dataclasses
 
@@ -104,7 +119,8 @@ def run_ours(nx: int, steps: int, f64: bool):
         n = min(spec.rebin_every, steps - done)
         state = run_chunk(state, params, spec, n)
         done += n
-    out = gather_particles(state, spec.geom, fields=("x", "v", "rho", "phi"))
+    fields = ("x", "v", "rho", "phi") + (("C",) if params.n_sdpd else ())
+    out = gather_particles(state, spec.geom, fields=fields)
     return init, out
 
 
@@ -128,6 +144,7 @@ def match_by_sorted_order(x_ref, x_ours):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="lid_cavity", choices=sorted(CASES))
     ap.add_argument("--lmp", default="/tmp/lmpbuild/src/lmp_serial")
     ap.add_argument("--nx", type=int, default=50)
     ap.add_argument("--steps", type=int, default=200)
@@ -137,8 +154,9 @@ def main():
     outdir = tempfile.mkdtemp(prefix="golden_")
     print(f"workdir: {outdir}")
 
-    cpp0, cpp1 = run_cpp(args.lmp, args.nx, args.steps, outdir)
-    init, ours = run_ours(args.nx, args.steps, args.f64)
+    case = CASES[args.case]
+    cpp0, cpp1 = run_cpp(args.lmp, case, args.nx, args.steps, outdir)
+    init, ours = run_ours(args.case, args.nx, args.steps, args.f64)
 
     x_ref0 = np.stack([cpp0["x"], cpp0["y"], cpp0["z"]], axis=1)
     # order both initial dumps identically; apply to the final dumps by id/tag
@@ -153,18 +171,25 @@ def main():
 
     v_ref = np.stack([cpp1["vx"], cpp1["vy"]], axis=1)[rref]
     v_ours = ours["v"][rours][:, :2]
-    rho_ref = cpp1["c_rhoatom"][rref]
+    rho_key = "c_rhoatom" if "c_rhoatom" in cpp1 else "c_rho"
+    phi_key = "c_phiatom" if "c_phiatom" in cpp1 else "c_phi"
+    rho_ref = cpp1[rho_key][rref]
     rho_ours = ours["rho"][rours]
-    phi_ref = cpp1["c_phiatom"][rref]
+    phi_ref = cpp1[phi_key][rref]
     phi_ours = ours["phi"][rours]
 
     vscale = np.abs(v_ref).max()
     print(f"n={len(rref)} steps={args.steps} (ours {'f64' if args.f64 else 'f32'})")
-    for name, a, b, scale in [
+    comps = [
         ("v", v_ref, v_ours, vscale),
         ("rho", rho_ref, rho_ours, 1.0),
         ("phi", phi_ref, phi_ours, max(np.abs(phi_ref).max(), 1e-12)),
-    ]:
+    ]
+    if "c_concentration1" in cpp1 and "C" in ours:
+        comps.append(("C", cpp1["c_concentration1"][rref],
+                      ours["C"][rours][:, 0],
+                      max(np.abs(cpp1["c_concentration1"]).max(), 1e-12)))
+    for name, a, b, scale in comps:
         d = np.abs(a - b)
         print(f"{name:4s} max|diff|={d.max():.3e}  mean|diff|={d.mean():.3e}  "
               f"rel(max)={d.max()/scale:.3e}")
