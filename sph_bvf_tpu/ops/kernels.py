@@ -65,3 +65,17 @@ def lucy_wfd_rsq(rsq, h, dim: int):
 def lucy_self_w(h, dim: int):
     """W(0, h) — the self-contribution used by Shepard-style density sums."""
     return _A[dim] / h**dim
+
+
+def lucy_w_ih(r, ih, dim: int):
+    """W(r) given the precomputed inverse support 1/h (no division)."""
+    q = r * ih
+    t = jnp.maximum(1.0 - q, 0.0)
+    return (_A[dim] * ih**dim) * t * t * t * (1.0 + 3.0 * q)
+
+
+def lucy_wfd_ih(r, ih, dim: int):
+    """(1/r) dW/dr given 1/h (no division)."""
+    q = r * ih
+    t = jnp.maximum(1.0 - q, 0.0)
+    return (-12.0 * _A[dim] * ih ** (dim + 2)) * t * t

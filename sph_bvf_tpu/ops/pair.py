@@ -44,7 +44,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from sph_bvf_tpu.ops import rand
-from sph_bvf_tpu.ops.kernels import lucy_w, lucy_wfd
+from sph_bvf_tpu.ops.kernels import lucy_w, lucy_w_ih, lucy_wfd, lucy_wfd_ih
 from sph_bvf_tpu.ops.eos import tait_pressure
 from sph_bvf_tpu.core.state import Geometry, Params, State, shift_cells
 
@@ -156,7 +156,10 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
     if cfg.g0_chem_coupling and state.C.shape[0] > 0:
         G0 = G0 * (1.0 - 0.99 * state.C[0])
     P = tait_pressure(state.rho, rho0, B)
-    V2 = (m / state.rho) ** 2
+    inv_rho = 1.0 / state.rho
+    m_rho = m * inv_rho
+    V2 = m_rho * m_rho
+    P_rho2 = P * inv_rho * inv_rho  # pressure force term, hoisted per particle
     solid = state.solid_tag == 1
     fluid = ~solid
 
@@ -194,7 +197,10 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
         B=B,
         c0=c0,
         G0=G0,
-        P=P,
+        P=P,  # only consumed i-side (Pnew storage); never shifted
+        P_rho2=P_rho2,
+        inv_rho=inv_rho,
+        m_rho=m_rho,
         V2=V2,
         AS=AS,
     )
@@ -220,14 +226,44 @@ def _xdot_tensor(dx, T):
     )
 
 
-def lookup_pair_coeffs(ti, tj, params: Params):
+def coeff_tables(params: Params, cfg: PairConfig):
+    """[T, T] tables of every per-type-pair quantity the pair pass needs.
+
+    Divisions and kernel normalizations that depend only on the type pair
+    are hoisted here (evaluated once, not per pair per step): 1/h, 1/cutc,
+    the harmonic mass m_i m_j/(m_i+m_j), the artificial-stress reference
+    kernel (1/W(h/ratio))^4, and the harmonic shear modulus.
+    """
+    safe = lambda x: jnp.where(x > 0, x, 1.0)
+    h = params.cut
+    out = dict(
+        h=h,
+        eta=params.visc,
+        hc=params.cutc,
+        inv_h=1.0 / safe(h),
+        inv_hc=1.0 / safe(params.cutc),
+        m_harm=params.mass[:, None] * params.mass[None, :]
+        / safe(params.mass[:, None] + params.mass[None, :]),
+    )
+    if cfg.solids_present:
+        # keep 1/wdelta (not its 4th power): (wf * inv_wdelta)**4 stays O(1)
+        # in f32, whereas wf**4 alone overflows for small h (fsi h ~ 1e-5)
+        wdelta = lucy_w(h / cfg.wdelta_ratio, safe(h), cfg.dim)
+        out["inv_wdelta"] = 1.0 / safe(wdelta)
+    if cfg.elastic_present and not cfg.g0_chem_coupling:
+        out["geff"] = (
+            2.0 * params.G0[:, None] * params.G0[None, :]
+            / (params.G0[:, None] + params.G0[None, :] + 1e-12)
+        )
+    return out
+
+
+def lookup_pair_coeffs(ti, tj, params: Params, cfg: PairConfig):
     """Gather the per-type-pair tables for pair-shaped type indices."""
     tp = ti * params.ntypes + tj
-    out = dict(
-        h=params.cut.reshape(-1)[tp],
-        eta=params.visc.reshape(-1)[tp],
-        hc=params.cutc.reshape(-1)[tp],
-    )
+    out = {
+        k: v.reshape(-1)[tp] for k, v in coeff_tables(params, cfg).items()
+    }
     if params.n_sdpd > 0:
         out["kap"] = jnp.moveaxis(params.kappa, -1, 0).reshape(
             params.n_sdpd, -1
@@ -259,26 +295,26 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     RED = -2  # the cj axis of a scalar pair block
 
     h = coeffs["h"]
+    inv_h = coeffs["inv_h"]
 
     dx = I["x"] - J["x"]  # [3, ci, cj, NC]
     rsq = _dot3(dx, dx)
     r = jnp.sqrt(rsq)
 
     mask = (I["valid"] & J["valid"] & notself).astype(f32)
-    wfd = lucy_wfd(r, h, dim) * mask
-    wf = lucy_w(r, h, dim) * mask
+    wfd = lucy_wfd_ih(r, inv_h, dim) * mask
+    wf = lucy_w_ih(r, inv_h, dim) * mask
     wfBvf = wf  # identical expression in the reference (:212-213)
 
-    # ghost cells beyond open boundaries are zero-padded by shift_cells;
-    # sanitize every j-side denominator so masked terms stay finite
-    # (inf * 0 would poison the reductions).
-    validj = J["valid"]
+    # Ghost cells beyond open boundaries are zero-padded by shift_cells, and
+    # every per-particle reciprocal (inv_rho, m_rho, P_rho2) is precomputed
+    # on the finite state, so no j-side value can be inf/nan — masked terms
+    # vanish under the (wfd, wf) mask without extra selects.
     mi = I["m"]
-    mj = jnp.where(validj, J["m"], 1.0)
+    mj = J["m"]
     rhoi = I["rho"]
-    rhoj = jnp.where(validj, J["rho"], 1.0)
+    rhoj = J["rho"]
     Vi2, Vj2 = I["V2"], J["V2"]
-    Pi, Pj = I["P"], J["P"]
     solid_i, solid_j = I["solid"], J["solid"]
 
     # ---- sweep 1 ----------------------------------------------------------
@@ -311,8 +347,8 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     fvisc = (Vi2 + Vj2) * coeffs["eta"] * wfd
 
     # pressure force, Zhang 2017 (+ Sun 2018 switch in the tv variant, :395-399)
-    fi_term = Pi / (rhoi * rhoi)
-    fj_term = Pj / (rhoj * rhoj)
+    fi_term = I["P_rho2"]
+    fj_term = J["P_rho2"]
     pij = fj_term + fi_term
     if cfg.pressure_switch:
         sgn = jnp.where((pij >= 0.0) | (solid_i & solid_j), 1.0, -1.0)
@@ -329,9 +365,10 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     # artificial-stress force (:486-494): fa[m] = mi mj wfd (wf/wdelta)^4
     #   * sum_k dx[k] (AS_i[k,m] + AS_j[k,m])
     if cfg.solids_present:
-        wdelta = lucy_w(h / cfg.wdelta_ratio, h, dim)
         xdotAS = _xdot_tensor(dx, I["AS"] + J["AS"])
-        f_art = (mi * mj * wfd * (wf / wdelta) ** 4)[None] * xdotAS
+        f_art = (
+            mi * mj * wfd * (wf * coeffs["inv_wdelta"]) ** 4
+        )[None] * xdotAS
     else:
         f_art = 0.0
 
@@ -343,8 +380,8 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     if cfg.solids_present:
         # solid-branch force (:504-529)
         if cfg.elastic_present:
-            inv_i = (1.0 / (rhoi * rhoi))
-            inv_j = (1.0 / (rhoj * rhoj))
+            inv_i = I["inv_rho"] * I["inv_rho"]
+            inv_j = J["inv_rho"] * J["inv_rho"]
             Ssum = I["S"] * inv_i[None, None] + J["S"] * inv_j[None, None]
             f_dev = (mi * mj * wfd)[None] * _xdot_tensor(dx, Ssum)
         else:
@@ -367,8 +404,12 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     if cfg.elastic_present:
         dvest = -velvec  # vest_j - vest_i
         # strain/rotation: 0.5 (mj/rhoj) wfd (dvest[m] dx[n] +/- dvest[n] dx[m])
-        pref = 0.5 * (mj / rhoj) * wfd
-        geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
+        pref = 0.5 * J["m_rho"] * wfd
+        if cfg.g0_chem_coupling:
+            # fsi softens G0 per particle (pair...fsi.cpp:441-445)
+            geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
+        else:
+            geff = coeffs["geff"]
         two_geff = 2.0 * geff
         # unrolled 3x3: elastic + S.rot^T + rot.S  (S symmetric is not
         # assumed; matches the reference's componentwise updates)
@@ -401,21 +442,22 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     delVtdotDelR = _dot3(dx, dvt)
     corr_i = rhoi * _dot3(I["vest"] - I["v"], dx)
     corr_j = rhoj * _dot3(J["vest"] - J["v"], dx)
-    drho = rhoi * mj * delVtdotDelR * wfd / rhoj
+    m_rho_j = J["m_rho"]
+    drho = rhoi * delVtdotDelR * wfd * m_rho_j
     if cfg.ampl_damp != 0.0:
+        # rhoi (rhoj/rhoi - 1) / rhoj == (rhoj - rhoi) m_rho_j / mj, algebraic
+        # rewrite of pair...fsi.cpp:535 with the hoisted reciprocal
         drho = drho - (
             cfg.ampl_damp
             * h
-            * rhoi
             * I["c0"]
-            * mj
             * 2.0
-            * (rhoj / rhoi - 1.0)
+            * (rhoj - rhoi)
             * (rsq / (rsq + 0.01 * h * h))
             * wfd
-            / rhoj
+            * m_rho_j
         )
-    drho = drho - (mj / rhoj) * (corr_i + corr_j) * wfd
+    drho = drho - m_rho_j * (corr_i + corr_j) * wfd
     acc["drho"] += jnp.sum(drho, axis=RED)
 
     # energy accumulation (:557-559)
@@ -432,11 +474,13 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
     if params.n_sdpd > 0 or params.n_ssa > 0:
         hc = coeffs["hc"]
-        wfd_c = lucy_wfd(r, hc, dim) * mask
+        wfd_c = lucy_wfd_ih(r, coeffs["inv_hc"], dim) * mask
+        # (rhoi+rhoj)/(rhoi rhoj) == 1/rhoi + 1/rhoj; m_i m_j/(m_i+m_j) is a
+        # per-type-pair table (both hoisted out of the pair loop)
         dQc_base = (
             2.0
-            * (mi * mj / (mi + mj))
-            * ((rhoi + rhoj) / (rhoi * rhoj))
+            * coeffs["m_harm"]
+            * (I["inv_rho"] + J["inv_rho"])
             * rsq
             * wfd_c
             / (rsq + 0.01 * hc * hc)
@@ -449,7 +493,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
             # -(mj/rhoj) (C_i (vest_i-v_i).dx + C_j (vest_j-v_j).dx) wfd_c
             corr_ip = _dot3(I["vest"] - I["v"], dx)
             corr_jp = _dot3(J["vest"] - J["v"], dx)
-            dQ = dQ - ((mj / rhoj) * wfd_c)[None] * (
+            dQ = dQ - (J["m_rho"] * wfd_c)[None] * (
                 I["C"] * corr_ip[None] + J["C"] * corr_jp[None]
             )
         acc["Q"] += jnp.sum(dQ, axis=RED)
@@ -503,12 +547,14 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
     trace = sum(W[a][a] for a in range(dim)) / dim
     for a in range(dim):
         W[a][a] = W[a][a] - trace
+    # m_i m_j wfd / (rho_i rho_j) via the hoisted reciprocals: zero (not
+    # inf/nan) on zero-padded ghost lanes, so the mask in wfd suffices
     pref = jnp.sqrt(
         jnp.maximum(
             -4.0
             * params.boltz
             * I["e"]
-            * (I["m"] * J["m"] * wfd / (I["rho"] * J["rho"]))
+            * (I["m"] * J["m"] * wfd * I["inv_rho"] * J["inv_rho"])
             / dt,
             0.0,
         )
@@ -531,19 +577,17 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
 def _pass_b_offset(I, J, coeffs, cfg: PairConfig, params: Params, notself, acc):
     f32 = I["x"].dtype
     RED = -2
-    h = coeffs["h"]
     dx = I["x"] - J["x"]
     r = jnp.sqrt(_dot3(dx, dx))
     mask = (I["valid"] & J["valid"] & notself).astype(f32)
-    wfBvf = lucy_w(r, h, cfg.dim) * mask
+    wfBvf = lucy_w_ih(r, coeffs["inv_h"], cfg.dim) * mask
 
     sel = I["fluid"] & J["solid"]
     if cfg.weighted_solid_skip_fixed:
         sel = sel & ~J["fixed"]
     w = sel.astype(f32) * wfBvf * J["V2"]
-    mj = jnp.where(J["valid"], J["m"], 1.0)  # zero-padded ghosts (see pass A)
     acc["vws"] += jnp.sum(w[None] * J["vest"], axis=RED)
-    acc["aws"] += jnp.sum(w[None] * (J["f"] / mj[None]), axis=RED)
+    acc["aws"] += jnp.sum(w[None] * J["fom"], axis=RED)  # f/m, hoisted
     return acc
 
 
@@ -552,11 +596,16 @@ def _pass_b_offset(I, J, coeffs, cfg: PairConfig, params: Params, notself, acc):
 # ---------------------------------------------------------------------------
 
 def _pass_a_j_fields(params: Params, cfg: PairConfig):
-    fields = "valid x v vest rho rhoI ptype solid m c0 P V2".split()
+    fields = (
+        "valid x v vest rho rhoI ptype solid m c0 "
+        "P_rho2 inv_rho m_rho V2"
+    ).split()
     if cfg.solids_present:
         fields.append("AS")
     if cfg.elastic_present:
-        fields += ["S", "G0"]
+        fields.append("S")
+        if cfg.g0_chem_coupling:
+            fields.append("G0")
     if params.n_sdpd > 0:
         fields.append("C")
     if cfg.thermal and "tag" not in fields:
@@ -566,7 +615,7 @@ def _pass_a_j_fields(params: Params, cfg: PairConfig):
     return fields
 
 
-_PASS_B_J_FIELDS = "valid x vest ptype solid fluid fixed m V2 f".split()
+_PASS_B_J_FIELDS = "valid x vest ptype solid fluid fixed V2 fom".split()
 
 
 def compute_forces(
@@ -615,7 +664,7 @@ def compute_forces(
         for off in geom.stencil_offsets():
             J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
             notself = not_diag if off == (0, 0, 0) else True
-            coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params)
+            coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params, cfg)
             acc = _pass_a_offset(
                 I, J, coeffs, params, cfg, state.dt, state.step, notself, acc,
                 seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
@@ -628,8 +677,8 @@ def compute_forces(
     # never read it, so it is skipped unless requested.
     acc_b = dict(vws=zeros(3), aws=zeros(3))
     if cfg.solids_present and cfg.weighted_solid:
-        pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "f"}
-        pf_b["f"] = acc["f"]
+        pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "fom"}
+        pf_b["fom"] = acc["f"] / pf["m"][None]  # f/m once per particle
         pf_b["fluid"] = pf["fluid"]
         I_b = {k: _bc(v, "i") for k, v in pf_b.items()}
         for off in geom.stencil_offsets():
@@ -638,7 +687,7 @@ def compute_forces(
                 for k in _PASS_B_J_FIELDS
             }
             notself = not_diag if off == (0, 0, 0) else True
-            coeffs = lookup_pair_coeffs(I_b["ptype"], J["ptype"], params)
+            coeffs = lookup_pair_coeffs(I_b["ptype"], J["ptype"], params, cfg)
             acc_b = _pass_b_offset(I_b, J, coeffs, cfg, params, notself, acc_b)
 
     return dataclasses.replace(

@@ -74,12 +74,15 @@ def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
         ("valid", 1), ("ptype", 1), ("solid", 1),
         ("x", 3), ("v", 3), ("vest", 3),
         ("rho", 1), ("rhoI", 1),
-        ("m", 1), ("B", 1), ("c0", 1), ("P", 1), ("V2", 1),
+        ("m", 1), ("B", 1), ("c0", 1),
+        ("P_rho2", 1), ("inv_rho", 1), ("m_rho", 1), ("V2", 1),
     ]
     if cfg.solids_present:
         rows.append(("AS", 9))
     if cfg.elastic_present:
-        rows += [("S", 9), ("G0", 1)]
+        rows.append(("S", 9))
+        if cfg.g0_chem_coupling:
+            rows.append(("G0", 1))
     if params.n_sdpd > 0:
         rows.append(("C", params.n_sdpd))
     return rows
@@ -174,9 +177,13 @@ def pass_a_pallas(
     # pad: one full block on each side (halo), plus NC -> NC_pad on the right
     PF = jnp.pad(PF, ((0, 0), (0, 0), (BLK, BLK + NC_pad - NC)))
 
+    from sph_bvf_tpu.ops.pair import coeff_tables
+
+    tab_dict = coeff_tables(params, cfg)
+    tab_names = sorted(tab_dict)
     tables = jnp.stack(
-        [params.cut, params.visc, params.cutc], axis=0
-    ).astype(jnp.float32)  # [3, T, T]
+        [tab_dict[k] for k in tab_names], axis=0
+    ).astype(jnp.float32)  # [n_tab, T, T]
     kap = (
         params.kappa.reshape(T * T, params.n_sdpd).astype(jnp.float32)
         if params.n_sdpd > 0
@@ -242,11 +249,10 @@ def pass_a_pallas(
             J = {k: _bc(v, "j") for k, v in Jf.items()}
 
             tp = I["ptype"] * float(T) + J["ptype"]
-            coeffs = dict(
-                h=_select_table(tp, tab_ref[0], T),
-                eta=_select_table(tp, tab_ref[1], T),
-                hc=_select_table(tp, tab_ref[2], T),
-            )
+            coeffs = {
+                k: _select_table(tp, tab_ref[i], T)
+                for i, k in enumerate(tab_names)
+            }
             if params.n_sdpd > 0:
                 coeffs["kap"] = _select_table_rows(tp, kap_ref, T, params.n_sdpd)
 
@@ -266,7 +272,10 @@ def pass_a_pallas(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((3, T, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (len(tab_names), T, T), lambda b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (T * T, kap.shape[1]), lambda b: (0, 0), memory_space=pltpu.VMEM
             ),
