@@ -61,6 +61,10 @@ class Geometry:
     cell_size: Tuple[float, float, float]
     cap: int
     periodic: Tuple[bool, bool, bool] = (False, False, False)
+    # Half the slack between cell size and the kernel cutoff: a particle may
+    # drift this far from its assigned cell between rebins before stencil
+    # pair coverage can be violated (see rebin's drift check).  0 disables.
+    drift_budget: float = 0.0
 
     @property
     def ncells_total(self) -> int:
@@ -110,6 +114,9 @@ class Geometry:
                 n = max((n // m) * m, m)
             nc.append(n)
             cs.append(ext / n)
+        budget = min(
+            (cs[ax] - cutoff) / 2.0 for ax in range(dim)
+        ) if cutoff > 0 else 0.0
         return Geometry(
             dim=dim,
             lo=lo,
@@ -118,6 +125,7 @@ class Geometry:
             cell_size=tuple(cs),
             cap=cap,
             periodic=tuple(periodic),
+            drift_budget=max(budget, 0.0),
         )
 
 
@@ -212,6 +220,11 @@ class State:
     dt: jax.Array  # f32 scalar (carried: fix dt/adaptive mutates it)
     key: jax.Array  # PRNG key
     overflow: jax.Array  # i32 scalar: particles dropped at rebin (must stay 0)
+    # particles found outside their assigned cell by more than the drift
+    # budget at rebin time — a nonzero count means the rebin cadence was too
+    # slow for the motion and pair coverage may have been violated (the
+    # failure mode the reference's skin heuristic shares, neighbor.cpp:88-90)
+    drift_violation: jax.Array = None  # i32 scalar
 
     # ------------------------------------------------------------------
     @property
@@ -258,6 +271,7 @@ class State:
             dt=jnp.zeros((), dtype),
             key=jax.random.PRNGKey(seed),
             overflow=jnp.zeros((), i32),
+            drift_violation=jnp.zeros((), i32),
         )
 
 
@@ -266,7 +280,7 @@ class State:
 # ---------------------------------------------------------------------------
 
 # Bookkeeping leaves that carry no trailing [cap, NC] axes.
-_SCALAR_LEAVES = ("step", "dt", "key", "overflow")
+_SCALAR_LEAVES = ("step", "dt", "key", "overflow", "drift_violation")
 
 
 def particle_fields(state: State) -> dict:
@@ -359,6 +373,28 @@ def rebin(state: State, geom: Geometry) -> State:
     M = NC * cap
 
     fields = particle_fields(state)
+
+    # drift check BEFORE re-wrapping/re-binning: how far outside its assigned
+    # cell has each particle strayed since the last rebin?
+    drift_violation = state.drift_violation
+    if geom.drift_budget > 0:
+        cell_ids = jnp.arange(NC, dtype=jnp.int32)
+        lo = jnp.asarray(geom.lo)
+        cs = jnp.asarray(geom.cell_size)
+        strides = jnp.asarray(geom.strides, jnp.int32)
+        ncs = jnp.asarray(geom.ncells, jnp.int32)
+        coords = (cell_ids[:, None] // strides[None, :]) % ncs[None, :]  # [NC,3]
+        cell_lo = lo[None, :] + coords * cs[None, :]
+        cell_hi = cell_lo + cs[None, :]
+        x = fields["x"]  # [3, cap, NC]
+        excess = jnp.zeros(x.shape[1:], x.dtype)
+        for ax in range(geom.dim):
+            below = cell_lo[:, ax][None, :] - x[ax]
+            above = x[ax] - cell_hi[:, ax][None, :]
+            excess = jnp.maximum(excess, jnp.maximum(below, above))
+        bad = fields["valid"] & (excess > geom.drift_budget)
+        drift_violation = drift_violation + jnp.sum(bad.astype(jnp.int32))
+
     fields["x"] = wrap_pbc(fields["x"], geom)
 
     valid = _flat_slots(fields["valid"])
@@ -410,7 +446,10 @@ def rebin(state: State, geom: Geometry) -> State:
         new_fields[name] = block.astype(dtype).reshape(lead + (cap, NC))
 
     new_state = dataclasses.replace(
-        state, overflow=state.overflow + dropped, **new_fields
+        state,
+        overflow=state.overflow + dropped,
+        drift_violation=drift_violation,
+        **new_fields,
     )
     # empty slots must hold neutral denominators
     return _neutralize_invalid(new_state)
@@ -500,6 +539,9 @@ def state_from_particles(
         groupmask=put(st.groupmask, np.full(n, GROUP_ALL, np.int32)),
     )
     st = rebin(st, geom)
+    # the pre-binning slot assignment is arbitrary; only drift AFTER the
+    # first real binning is meaningful
+    st = dataclasses.replace(st, drift_violation=jnp.zeros((), jnp.int32))
     return st
 
 

@@ -115,6 +115,20 @@ def simulate(
     cb_every = callback_every or chunk
     if cb_every % chunk:
         raise ValueError("callback_every must be a multiple of rebin_every")
+    def check(state):
+        overflow = int(state.overflow)
+        if overflow:
+            raise RuntimeError(
+                f"{overflow} particles exceeded cell capacity (lost atoms)"
+            )
+        drift = int(state.drift_violation)
+        if drift:
+            raise RuntimeError(
+                f"{drift} particles drifted past the cell margin between "
+                f"rebins — pair coverage may have been violated; lower "
+                f"rebin_every or raise Scene.margin_frac"
+            )
+
     done = 0
     while done < nsteps:
         n = min(chunk, nsteps - done)
@@ -122,10 +136,8 @@ def simulate(
         done += n
         if callback is not None and (done % cb_every == 0 or done >= nsteps):
             callback(state)
-        if done % (100 * chunk) == 0:
-            overflow = int(state.overflow)
-            if overflow:
-                raise RuntimeError(
-                    f"{overflow} particles exceeded cell capacity (lost atoms)"
-                )
+        # the counter readback costs a host roundtrip; amortize over chunks
+        # but always check at the end so nothing slips through
+        if done % (10 * chunk) == 0 or done >= nsteps:
+            check(state)
     return state

@@ -120,3 +120,26 @@ def test_rebin_jits():
     jitted = jax.jit(lambda s: rebin(s, g))
     st2 = jitted(st)
     assert int(st2.n_valid) == 50
+
+
+def test_drift_violation_detected():
+    """A particle teleported far outside its cell must trip the drift guard
+    at the next rebin (the silent-missed-pairs failure mode)."""
+    g = Geometry.build(
+        dim=2, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 0.1), cutoff=0.2,
+        cap=8, margin=0.05,
+    )
+    assert g.drift_budget > 0
+    x = np.array([[0.1, 0.1], [0.6, 0.6]])
+    st = state_from_particles(g, x, np.zeros(2, int))
+    assert int(st.drift_violation) == 0
+    # small drift within budget: no violation
+    st_small = dataclasses.replace(
+        st, x=st.x + jnp.where(st.tag[None] == 1, 0.9 * g.drift_budget, 0.0)
+    )
+    assert int(rebin(st_small, g).drift_violation) == 0
+    # large drift: flagged
+    st_big = dataclasses.replace(
+        st, x=st.x + jnp.where(st.tag[None] == 1, 0.3, 0.0)
+    )
+    assert int(rebin(st_big, g).drift_violation) == 1
