@@ -148,7 +148,7 @@ def pass_a_pallas(
     params: Params,
     geom: Geometry,
     cfg,
-    block: int = 128,
+    block: int = 256,
     interpret: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run pass A as one Pallas kernel; returns the accumulator dict."""
