@@ -219,6 +219,23 @@ def _dot3(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
+def _pair_delta(xi, xj, pbc):
+    """x_i - x_j with minimum-image correction on periodic axes.
+
+    The stencil wrap brings the right CELLS together, but coordinates stay
+    unwrapped, so cross-boundary pairs need the image shift (the analog of
+    LAMMPS ghost-atom coordinate shifting, comm_brick.cpp borders).
+    ``pbc`` is a static tuple of (axis, extent).
+    """
+    dx = xi - xj
+    if not pbc:
+        return dx
+    comps = [dx[0], dx[1], dx[2]]
+    for ax, ext in pbc:
+        comps[ax] = comps[ax] - ext * jnp.round(comps[ax] / ext)
+    return jnp.stack(comps, axis=0)
+
+
 def _xdot_tensor(dx, T):
     """out[m] = sum_k dx[k] T[k, m] — unrolled over the tiny component dims."""
     return jnp.stack(
@@ -280,7 +297,7 @@ def lookup_pair_coeffs(ti, tj, params: Params, cfg: PairConfig):
 # ---------------------------------------------------------------------------
 
 
-def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0):
+def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0, pbc=()):
     """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
 
     Pair blocks are [ci, cj, NC] (components leading); reductions are over
@@ -297,7 +314,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     h = coeffs["h"]
     inv_h = coeffs["inv_h"]
 
-    dx = I["x"] - J["x"]  # [3, ci, cj, NC]
+    dx = _pair_delta(I["x"], J["x"], pbc)  # [3, ci, cj, NC]
     rsq = _dot3(dx, dx)
     r = jnp.sqrt(rsq)
 
@@ -574,10 +591,10 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
 # ---------------------------------------------------------------------------
 
 
-def _pass_b_offset(I, J, coeffs, cfg: PairConfig, params: Params, notself, acc):
+def _pass_b_offset(I, J, coeffs, cfg: PairConfig, params: Params, notself, acc, pbc=()):
     f32 = I["x"].dtype
     RED = -2
-    dx = I["x"] - J["x"]
+    dx = _pair_delta(I["x"], J["x"], pbc)
     r = jnp.sqrt(_dot3(dx, dx))
     mask = (I["valid"] & J["valid"] & notself).astype(f32)
     wfBvf = lucy_w_ih(r, coeffs["inv_h"], cfg.dim) * mask
@@ -636,6 +653,13 @@ def compute_forces(
         jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :]
     )[:, :, None]
 
+    # minimum-image shifts for periodic axes (static)
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+
     def zeros(*lead):
         return jnp.zeros(lead + (cap, NC), f32)
 
@@ -668,6 +692,7 @@ def compute_forces(
             acc = _pass_a_offset(
                 I, J, coeffs, params, cfg, state.dt, state.step, notself, acc,
                 seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
+                pbc=pbc,
             )
 
     # ---- pass B needs the fresh forces ------------------------------------
@@ -688,7 +713,9 @@ def compute_forces(
             }
             notself = not_diag if off == (0, 0, 0) else True
             coeffs = lookup_pair_coeffs(I_b["ptype"], J["ptype"], params, cfg)
-            acc_b = _pass_b_offset(I_b, J, coeffs, cfg, params, notself, acc_b)
+            acc_b = _pass_b_offset(
+                I_b, J, coeffs, cfg, params, notself, acc_b, pbc=pbc
+            )
 
     return dataclasses.replace(
         state,

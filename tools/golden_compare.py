@@ -43,6 +43,14 @@ CASES = {
                   "variable           Nyint equal 200"],
         dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
     ),
+    "fsi": dict(
+        script="/root/reference/examples/ssa-tsdpd/fsi/fsi.lmp",
+        nt_line="variable     nt equal 1000000000",
+        nx_lines=["variable\t   nx equal 60"],
+        dump_fields="id type x y z vx vy vz c_rhoatom c_phiatom c_stressxx",
+        build_kwargs=lambda nx: dict(nx=nx, dt=1e-8),  # tdamp_solid stays 1e6 like the script
+        dt=1e-8,
+    ),
 }
 
 
@@ -101,7 +109,10 @@ def run_ours(model: str, nx: int, steps: int, f64: bool):
     from sph_bvf_tpu.models import REGISTRY
     from sph_bvf_tpu.core.stepper import run_chunk, setup
 
-    state, params, spec, sc = REGISTRY[model](N=nx, dt=1e-4, rebin_every=10)
+    case = CASES[model]
+    kw = case.get("build_kwargs", lambda n: dict(N=n, dt=1e-4))(nx)
+    dt = case.get("dt", 1e-4)
+    state, params, spec, sc = REGISTRY[model](rebin_every=10, **kw)
     if f64:
         import dataclasses
 
@@ -112,14 +123,15 @@ def run_ours(model: str, nx: int, steps: int, f64: bool):
             state,
         )
         params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
-    state = setup(state, params, spec, dt=1e-4)
+    state = setup(state, params, spec, dt=dt)
     init = gather_particles(state, spec.geom, fields=("x", "v", "rho"))
     done = 0
     while done < steps:
         n = min(spec.rebin_every, steps - done)
         state = run_chunk(state, params, spec, n)
         done += n
-    fields = ("x", "v", "rho", "phi") + (("C",) if params.n_sdpd else ())
+    fields = ("x", "v", "rho", "phi", "S", "Pnew") + (
+        ("C",) if params.n_sdpd else ())
     out = gather_particles(state, spec.geom, fields=fields)
     return init, out
 
@@ -161,6 +173,8 @@ def main():
     x_ref0 = np.stack([cpp0["x"], cpp0["y"], cpp0["z"]], axis=1)
     # order both initial dumps identically; apply to the final dumps by id/tag
     oref, oours = match_by_sorted_order(x_ref0, init["x"])
+    site_err = np.abs(x_ref0[oref] - init["x"][oours]).max()
+    print(f"initial-site max mismatch: {site_err:.3e}")
     ref_ids = cpp0["id"][oref].astype(int)
     our_tags = init["tag"][oours].astype(int)
 
@@ -189,6 +203,12 @@ def main():
         comps.append(("C", cpp1["c_concentration1"][rref],
                       ours["C"][rours][:, 0],
                       max(np.abs(cpp1["c_concentration1"]).max(), 1e-12)))
+    if "c_stressxx" in cpp1:
+        # the reference computes stress only for the beam group (type 2)
+        beam = cpp1["type"][rref].astype(int) == 2
+        sxx = (ours["S"][rours][:, 2, 2] - ours["Pnew"][rours])[beam]
+        comps.append(("Sxx", cpp1["c_stressxx"][rref][beam], sxx,
+                      max(np.abs(cpp1["c_stressxx"]).max(), 1e-12)))
     for name, a, b, scale in comps:
         d = np.abs(a - b)
         print(f"{name:4s} max|diff|={d.max():.3e}  mean|diff|={d.mean():.3e}  "
