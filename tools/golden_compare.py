@@ -43,6 +43,18 @@ CASES = {
                   "variable           Nyint equal 200"],
         dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
     ),
+    "cell_polarization": dict(
+        script="/root/reference/examples/ssa-tsdpd/cell_polarization/"
+               "case_1/cell_polarization.lmp",
+        nt_line="variable     nt equal 40000",
+        nx_lines=["variable           nx equal 100"],
+        dump_fields="id type x y z vx vy vz c_rhoatom c_phiatom "
+                    "c_concentration1",
+        via_lmp={"nx"},  # build ours from the same script (multi-lattice
+        # construction with atom-variable group splits; the Python model
+        # mirrors case_2, so script-parity is the honest comparison)
+        dt_var="dt",
+    ),
     "fsi": dict(
         script="/root/reference/examples/ssa-tsdpd/fsi/fsi.lmp",
         nt_line="variable     nt equal 1000000000",
@@ -97,6 +109,27 @@ def run_cpp(lmp_bin: str, case: dict, nx: int, steps: int, outdir: str) -> dict:
     dumps = sorted(glob.glob(os.path.join(outdir, "cpp_*.txt")),
                    key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
     return read_dump_custom(dumps[0]), read_dump_custom(dumps[-1])
+
+
+def run_ours_lmp(case: dict, nx: int, steps: int, f64: bool):
+    """Build ours by parsing the SAME reference script (api/lmp front end)."""
+    import jax
+
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+    from sph_bvf_tpu.api.lmp import parse_script
+    from sph_bvf_tpu.core.state import gather_particles
+
+    overrides = {v: nx for v in case["via_lmp"]}
+    model = parse_script(open(case["script"]).read(), overrides=overrides)
+    state, params, spec = model.build()
+    init = gather_particles(state, spec.geom, fields=("x",))
+    state, params, spec = model.run(max_steps=steps, thermo=False,
+                                    out_dir=tempfile.mkdtemp())
+    fields = ("x", "v", "rho", "phi", "S", "Pnew") + (
+        ("C",) if params.n_sdpd else ())
+    out = gather_particles(state, spec.geom, fields=fields)
+    return init, out
 
 
 def run_ours(model: str, nx: int, steps: int, f64: bool):
@@ -168,7 +201,10 @@ def main():
 
     case = CASES[args.case]
     cpp0, cpp1 = run_cpp(args.lmp, case, args.nx, args.steps, outdir)
-    init, ours = run_ours(args.case, args.nx, args.steps, args.f64)
+    if "via_lmp" in case:
+        init, ours = run_ours_lmp(case, args.nx, args.steps, args.f64)
+    else:
+        init, ours = run_ours(args.case, args.nx, args.steps, args.f64)
 
     x_ref0 = np.stack([cpp0["x"], cpp0["y"], cpp0["z"]], axis=1)
     # order both initial dumps identically; apply to the final dumps by id/tag
