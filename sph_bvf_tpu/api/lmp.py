@@ -123,9 +123,10 @@ class LmpModel:
         if thermo and self.thermo_every:
             cadences.append(self.thermo_every)
         chunk = spec.rebin_every
-        cb_every = max(chunk, math.gcd(*cadences) if cadences else chunk)
-        cb_every -= cb_every % chunk or 0
-        cb_every = max(cb_every, chunk)
+        g = math.gcd(*cadences) if cadences else chunk
+        # the callback fires on chunk boundaries; unless every output cadence
+        # is a multiple of the chunk, check every chunk so no frame is missed
+        cb_every = g if g % chunk == 0 else chunk
         logger = ThermoLogger(params) if thermo else None
 
         def emit(st):
@@ -147,7 +148,10 @@ class LmpModel:
         from sph_bvf_tpu.io.vtk import write_vtk
         from sph_bvf_tpu.core.state import gather_particles
 
-        out = gather_particles(state, geom, fields=("x", "v", "ptype"))
+        out = gather_particles(state, geom,
+                               fields=("x", "v", "ptype", "groupmask"))
+        sel = (out["groupmask"] & self.scene.groupbit(d.group)) != 0
+        out = {k: v[sel] if k != "tag" else v[sel] for k, v in out.items()}
         pd = {}
         for f in d.fields:
             if f == "id":
@@ -160,7 +164,7 @@ class LmpModel:
                 name, idx = self.computes[f[2:]]
                 pd[f] = np.asarray(
                     computes_mod.gather_compute(state, geom, name, *idx)
-                )
+                )[sel]
             else:
                 raise LmpError(f"dump field {f!r} not supported")
         path = os.path.join(out_dir, d.filename.replace("*", str(stepno)))
@@ -435,6 +439,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
             s = need_scene()
             ii = range(1, s.ntypes + 1) if args[0] == "*" else [int(num(args[0]))]
             jj = range(1, s.ntypes + 1) if args[1] == "*" else [int(num(args[1]))]
+            pairs = sorted({(min(i, j), max(i, j)) for i in ii for j in jj})
             vals = [num(a) for a in args[2:]]
             rho0, c0, eta, h, cutc, g0 = vals[:6]
             rest = vals[6:]
@@ -444,12 +449,9 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
                 kap = (0.0,) * s.n_sdpd
             if s.n_ssa and not kss:
                 kss = (0.0,) * s.n_ssa
-            for i in ii:
-                for j in jj:
-                    if j < i:
-                        continue
-                    s.pair_coeff(i, j, rho0, c0, eta, h, cutc, g0,
-                                 kappa=kap, kappa_ssa=kss)
+            for i, j in pairs:
+                s.pair_coeff(i, j, rho0, c0, eta, h, cutc, g0,
+                             kappa=kap, kappa_ssa=kss)
         elif cmd == "fix":
             _parse_fix(args, need_scene(), ev, ssa_reactions)
             if args[2] in _INTEGRATOR_FIXES:

@@ -296,8 +296,8 @@ class Scene:
             self._ensure("Cd", 0.0, (self.n_ssa,))[sel, k] = val
         if solid_tag is not None:
             self._ensure("solid_tag", 0.0)[sel] = solid_tag
-            if fixed is not None:
-                self._ensure("fixed_tag", 0.0)[sel] = 1.0 if fixed else 0.0
+        if fixed is not None:
+            self._ensure("fixed_tag", 0.0)[sel] = 1.0 if fixed else 0.0
         return self
 
     def velocity(self, group: str, vx=0.0, vy=0.0, vz=0.0):

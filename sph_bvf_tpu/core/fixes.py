@@ -59,6 +59,13 @@ class Forcing:
 
     stage = POST_INTEGRATE
 
+    def __post_init__(self):
+        if self.field not in ("tsdpd", "ssa", "velocity"):
+            raise ValueError(f"forcing field {self.field!r}: "
+                             "choose tsdpd, ssa, or velocity")
+        if self.shape not in ("circle", "rectangle"):
+            raise ValueError(f"forcing shape {self.shape!r}")
+
     def apply(self, state: State, params: Params) -> State:
         sel = (
             _in_group(state, self.groupbit)
@@ -100,6 +107,13 @@ class Buffer:
     width: float = 0.0
     value: float = 0.0
     after_step: int = 0
+
+    def __post_init__(self):
+        if self.field not in ("tsdpd", "velocity", "density"):
+            raise ValueError(f"buffer field {self.field!r}: "
+                             "choose tsdpd, velocity, or density")
+        if self.direction not in ("x", "y"):
+            raise ValueError(f"buffer direction {self.direction!r}")
 
     @property
     def stage(self):

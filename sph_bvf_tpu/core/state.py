@@ -114,6 +114,14 @@ class Geometry:
                 n = max((n // m) * m, m)
             nc.append(n)
             cs.append(ext / n)
+        for ax in range(dim):
+            if periodic[ax] and nc[ax] < 3:
+                raise ValueError(
+                    f"periodic axis {ax} has only {nc[ax]} cells: with fewer "
+                    f"than 3, the +1/-1 stencil offsets alias the same "
+                    f"neighbor (double-counting pairs) or miss images "
+                    f"entirely — enlarge the box or shrink the cutoff"
+                )
         budget = min(
             (cs[ax] - cutoff) / 2.0 for ax in range(dim)
         ) if cutoff > 0 else 0.0

@@ -167,7 +167,7 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
     # it redundantly inside the pair loop from purely per-particle state,
     # pair...transport_velocity.cpp:453-483).
     p_for_as = jnp.abs(P) if cfg.art_stress_abs_p else P
-    inv_rho2 = 1.0 / (state.rho * state.rho)
+    inv_rho2 = inv_rho * inv_rho
     AS = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
@@ -704,7 +704,6 @@ def compute_forces(
     if cfg.solids_present and cfg.weighted_solid:
         pf_b = {k: pf[k] for k in _PASS_B_J_FIELDS if k != "fom"}
         pf_b["fom"] = acc["f"] / pf["m"][None]  # f/m once per particle
-        pf_b["fluid"] = pf["fluid"]
         I_b = {k: _bc(v, "i") for k, v in pf_b.items()}
         for off in geom.stencil_offsets():
             J = {

@@ -43,9 +43,14 @@ def hash_u32(*words):
 
 
 def uniform_01(*words):
-    """U(0,1) in [2^-33, 1): never exactly 0 (safe for log)."""
-    bits = hash_u32(*words)
-    return (bits.astype(jnp.float32) + 0.5) * jnp.float32(2.0**-32)
+    """U(0,1) in (0, 1): never exactly 0 or 1 (safe for log on either side).
+
+    Uses the top 24 bits so the float32 mantissa represents the value
+    exactly — the naive (bits + 0.5) * 2^-32 rounds to exactly 1.0 for bits
+    within ~128 of 2^32, which would make -log(1-u) infinite.
+    """
+    bits = hash_u32(*words) >> jnp.uint32(8)  # 24 mantissa-exact bits
+    return (bits.astype(jnp.float32) + 0.5) * jnp.float32(2.0**-24)
 
 
 def normal(*words):

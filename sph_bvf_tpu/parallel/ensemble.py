@@ -33,15 +33,6 @@ def stack_replicas(state: State, n_replicas: int, seed0: int = 0) -> State:
     return dataclasses.replace(stacked, key=keys)
 
 
-def with_replica_seeds(spec: ModelSpec, state: State) -> State:
-    """Give each replica a distinct rng_seed-derived Cd jitter hook point.
-
-    The pair/SSA counter-based streams hash (seed, step, tags); replicas
-    differ through ``state.key`` folded into the per-replica seed below.
-    """
-    return state
-
-
 @partial(jax.jit, static_argnames=("spec", "n"))
 def run_chunk_ensemble(state: State, params, spec: ModelSpec, n: int) -> State:
     """rebin + n steps for every replica, one compiled program."""

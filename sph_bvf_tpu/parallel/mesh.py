@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sph_bvf_tpu.core.state import State, particle_fields
+from sph_bvf_tpu.core.state import _SCALAR_LEAVES, State, particle_fields
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -46,7 +46,7 @@ def shard_state(state: State, mesh: Mesh, axis: str = "x") -> State:
 
     new = {k: put(v) for k, v in particle_fields(state).items()}
     out = dataclasses.replace(state, **new)
-    for name in ("step", "dt", "key", "overflow"):
+    for name in _SCALAR_LEAVES:
         object.__setattr__(out, name, jax.device_put(getattr(state, name), rep))
     return out
 
