@@ -102,6 +102,7 @@ class LmpModel:
     nsteps: int
     dt: float
     variables: Dict[str, float]
+    thermo_columns: Optional[List[str]] = None
 
     def build(self):
         return self.scene.build()
@@ -127,7 +128,12 @@ class LmpModel:
         # the callback fires on chunk boundaries; unless every output cadence
         # is a multiple of the chunk, check every chunk so no frame is missed
         cb_every = g if g % chunk == 0 else chunk
-        logger = ThermoLogger(params) if thermo else None
+        logger = (
+            ThermoLogger(params, columns=self.thermo_columns,
+                         dim=self.scene.dim)
+            if thermo
+            else None
+        )
 
         def emit(st):
             stepno = int(st.step)
@@ -280,6 +286,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
     dumps: List[DumpSpec] = []
     ssa_reactions: List[SsaReaction] = []
     thermo_every = 0
+    thermo_columns = None
     nsteps = 0
     dt = None
     integ_set = False
@@ -473,7 +480,9 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         elif cmd == "thermo":
             thermo_every = int(num(args[0]))
         elif cmd == "thermo_style":
-            pass  # field list accepted; the logger prints its fixed table
+            if args and args[0] == "custom":
+                known = {"step", "dt", "press", "temp", "etotal", "ke"}
+                thermo_columns = [a for a in args[1:] if a in known]
         elif cmd == "neighbor":
             pass  # skin/bin: superseded by the drift-margin cell sizing
         elif cmd == "timestep":
@@ -497,6 +506,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         computes=computes,
         dumps=dumps,
         thermo_every=thermo_every,
+        thermo_columns=thermo_columns,
         nsteps=nsteps,
         dt=dt,
         variables=dict(ev.values),

@@ -111,10 +111,13 @@ def simulate(
     chunk granularity (dump/thermo cadence should be a multiple of
     rebin_every for exact-step output).
     """
+    from sph_bvf_tpu.utils.thermo import StopSimulation
+
     chunk = spec.rebin_every
     cb_every = callback_every or chunk
     if cb_every % chunk:
         raise ValueError("callback_every must be a multiple of rebin_every")
+
     def check(state):
         overflow = int(state.overflow)
         if overflow:
@@ -135,7 +138,12 @@ def simulate(
         state = run_chunk(state, params, spec, n)
         done += n
         if callback is not None and (done % cb_every == 0 or done >= nsteps):
-            callback(state)
+            try:
+                callback(state)
+            except StopSimulation as e:
+                print(f"[halt] {e}")
+                check(state)
+                return state
         # the counter readback costs a host roundtrip; amortize over chunks
         # but always check at the end so nothing slips through
         if done % (10 * chunk) == 0 or done >= nsteps:
