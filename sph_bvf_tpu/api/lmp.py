@@ -103,6 +103,8 @@ class LmpModel:
     dt: float
     variables: Dict[str, float]
     thermo_columns: Optional[List[str]] = None
+    # `restart N file` (output.cpp:86-91): (every, path template with *)
+    restart_spec: Optional[tuple] = None
 
     def build(self):
         return self.scene.build()
@@ -123,6 +125,16 @@ class LmpModel:
         cadences = [d.every for d in self.dumps]
         if thermo and self.thermo_every:
             cadences.append(self.thermo_every)
+        restart_writer = None
+        if self.restart_spec is not None:
+            from sph_bvf_tpu.io.checkpoint import Restart
+
+            every, tmpl = self.restart_spec
+            cadences.append(every)
+            restart_writer = Restart(
+                every, os.path.join(out_dir, tmpl.replace("*", "{step}")),
+                spec.geom,
+            )
         chunk = spec.rebin_every
         g = math.gcd(*cadences) if cadences else chunk
         # the callback fires on chunk boundaries; unless every output cadence
@@ -139,6 +151,8 @@ class LmpModel:
             stepno = int(st.step)
             if logger and self.thermo_every and stepno % self.thermo_every == 0:
                 logger(st)
+            if restart_writer is not None and stepno:
+                restart_writer(st)
             for d in self.dumps:
                 if stepno % d.every == 0:
                     self._write_dump(st, spec.geom, d, out_dir, stepno)
@@ -288,6 +302,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
     thermo_every = 0
     thermo_columns = None
     nsteps = 0
+    restart_spec = None
     dt = None
     integ_set = False
 
@@ -308,6 +323,16 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         return ev.evaluate(tok)
 
     def resolve_region(args: List[str], style: str, name: str) -> Region:
+        # 'side out' keyword (region.cpp options): invert containment
+        invert = False
+        if "side" in args:
+            k = args.index("side")
+            invert = args[k + 1] == "out"
+            args = args[:k] + args[k + 2 :]
+        r = _resolve_region_style(args, style)
+        return ~r if invert else r
+
+    def _resolve_region_style(args: List[str], style: str) -> Region:
         if style == "block":
             vals = []
             for i, tok in enumerate(args[:6]):
@@ -322,6 +347,34 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         if style == "sphere":
             cx, cy, cz, r = (num(t) for t in args[:4])
             return Region.sphere(cx, cy, cz, r)
+        if style == "cylinder":
+            # region ID cylinder dim c1 c2 radius lo hi (region_cylinder.cpp)
+            axis = args[0]
+            c1, c2, r = (num(t) for t in args[1:4])
+            lohi = []
+            for i, tok in enumerate(args[4:6]):
+                if tok == "EDGE":
+                    if box is None:
+                        raise LmpError("EDGE region before create_box")
+                    lohi.append((box.lo, box.hi)[i]["xyz".index(axis)])
+                else:
+                    lohi.append(num(tok))
+            return Region.cylinder(axis, c1, c2, r, *lohi)
+        if style == "cone":
+            axis = args[0]
+            c1, c2, rlo, rhi, lo, hi = (num(t) for t in args[1:7])
+            return Region.cone(axis, c1, c2, rlo, rhi, lo, hi)
+        if style == "plane":
+            px, py, pz, nx_, ny_, nz_ = (num(t) for t in args[:6])
+            return Region.plane(px, py, pz, nx_, ny_, nz_)
+        if style == "prism":
+            vals = (num(t) for t in args[:9])
+            return Region.prism(*vals)
+        if style in ("union", "intersect"):
+            # region ID union N reg1 ... regN (region_union.cpp)
+            n = int(num(args[0]))
+            subs = [regions[a] for a in args[1 : 1 + n]]
+            return Region.union(*subs) if style == "union" else Region.intersect(*subs)
         raise LmpError(f"region style {style!r} not supported")
 
     for raw in text.splitlines():
@@ -489,6 +542,12 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
             dt = num(args[0])
         elif cmd == "run":
             nsteps = int(num(args[0]))
+        elif cmd == "restart":
+            # restart N file (output.cpp:86-91); N=0 disables
+            every = int(num(args[0]))
+            restart_spec = (every, args[1]) if every > 0 else None
+        elif cmd in ("log", "echo", "processors", "suffix", "package"):
+            pass  # host/process-level directives with no TPU-build analog
         elif cmd == "print":
             print("[lmp]", args[0] if args else "")
         else:
@@ -510,6 +569,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         nsteps=nsteps,
         dt=dt,
         variables=dict(ev.values),
+        restart_spec=restart_spec,
     )
 
 

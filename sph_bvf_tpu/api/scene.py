@@ -73,6 +73,49 @@ class Region:
         """2D disk (z ignored)."""
         return _Circle((cx, cy), r)
 
+    @staticmethod
+    def cylinder(axis, c1, c2, r, lo, hi):
+        """region_cylinder.cpp: axis in 'xyz'; (c1, c2) are the center
+        coordinates in the two remaining dims (x: y,z; y: x,z; z: x,y)."""
+        return _Cylinder(axis, c1, c2, r, lo, hi)
+
+    @staticmethod
+    def cone(axis, c1, c2, radlo, radhi, lo, hi):
+        """region_cone.cpp: radius varies linearly radlo@lo -> radhi@hi."""
+        return _Cone(axis, c1, c2, radlo, radhi, lo, hi)
+
+    @staticmethod
+    def plane(px, py, pz, nx, ny, nz):
+        """region_plane.cpp: inside = the half-space the normal points into."""
+        return _Plane((px, py, pz), (nx, ny, nz))
+
+    @staticmethod
+    def prism(xlo, xhi, ylo, yhi, zlo, zhi, xy, xz, yz):
+        """region_prism.cpp: parallelepiped with tilt factors xy/xz/yz."""
+        return _Prism((xlo, ylo, zlo), (xhi, yhi, zhi), (xy, xz, yz))
+
+    @staticmethod
+    def union(*regions):
+        """region_union.cpp: point is inside any sub-region."""
+        out = regions[0]
+        for r in regions[1:]:
+            out = out | r
+        return out
+
+    @staticmethod
+    def intersect(*regions):
+        """region_intersect.cpp: point is inside every sub-region."""
+        out = regions[0]
+        for r in regions[1:]:
+            out = out & r
+        return out
+
+
+_AXIS = {"x": 0, "y": 1, "z": 2}
+# the two "other" dims for a cylinder/cone axis, in LAMMPS's c1/c2 order
+# (region_cylinder.cpp: x -> (y, z), y -> (x, z), z -> (x, y))
+_OTHER = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
 
 @dataclasses.dataclass
 class _Block(Region):
@@ -103,6 +146,86 @@ class _Circle(Region):
     def contains(self, x):
         d = x[..., :2] - np.asarray(self.c)
         return np.sum(d * d, axis=-1) <= self.r * self.r
+
+
+@dataclasses.dataclass
+class _Cylinder(Region):
+    axis: str
+    c1: float
+    c2: float
+    r: float
+    lo: float
+    hi: float
+
+    def contains(self, x):
+        a = _AXIS[self.axis]
+        o1, o2 = _OTHER[a]
+        d1 = x[..., o1] - self.c1
+        d2 = x[..., o2] - self.c2
+        return (
+            (d1 * d1 + d2 * d2 <= self.r * self.r)
+            & (x[..., a] >= self.lo)
+            & (x[..., a] <= self.hi)
+        )
+
+
+@dataclasses.dataclass
+class _Cone(Region):
+    axis: str
+    c1: float
+    c2: float
+    radlo: float
+    radhi: float
+    lo: float
+    hi: float
+
+    def contains(self, x):
+        a = _AXIS[self.axis]
+        o1, o2 = _OTHER[a]
+        d1 = x[..., o1] - self.c1
+        d2 = x[..., o2] - self.c2
+        t = (x[..., a] - self.lo) / (self.hi - self.lo)
+        r = self.radlo + t * (self.radhi - self.radlo)
+        return (
+            (d1 * d1 + d2 * d2 <= r * r)
+            & (x[..., a] >= self.lo)
+            & (x[..., a] <= self.hi)
+        )
+
+
+@dataclasses.dataclass
+class _Plane(Region):
+    p: Tuple[float, float, float]
+    n: Tuple[float, float, float]
+
+    def contains(self, x):
+        n = np.asarray(self.n, dtype=float)
+        n = n / np.linalg.norm(n)
+        return np.sum((x - np.asarray(self.p)) * n, axis=-1) >= 0.0
+
+
+@dataclasses.dataclass
+class _Prism(Region):
+    lo: Tuple[float, float, float]
+    hi: Tuple[float, float, float]
+    tilt: Tuple[float, float, float]  # xy, xz, yz
+
+    def contains(self, x):
+        # edge vectors a/b/c (region_prism.cpp); invert the upper-triangular
+        # fractional-coordinate system back-to-front.
+        (xlo, ylo, zlo), (xhi, yhi, zhi) = self.lo, self.hi
+        xy, xz, yz = self.tilt
+        eps = 1e-12
+        if zhi == zlo:  # degenerate z extent (2D scene): only z == zlo inside
+            sz = np.where(np.abs(x[..., 2] - zlo) <= eps, 0.0, 2.0)
+        else:
+            sz = (x[..., 2] - zlo) / (zhi - zlo)
+        sy = (x[..., 1] - ylo - sz * yz) / (yhi - ylo)
+        sx = (x[..., 0] - xlo - sy * xy - sz * xz) / (xhi - xlo)
+        ok = np.ones(x.shape[:-1], bool)
+        for s in (sx, sy, sz):
+            ok &= (s >= -eps) & (s <= 1.0 + eps)
+        return ok
 
 
 @dataclasses.dataclass
@@ -168,6 +291,10 @@ class Scene:
         self.rebin_every = 10
         self.cap: Optional[int] = None
         self.margin_frac = 0.25
+        # lattice-aligned cell sizing (see Geometry.build quantum): cells an
+        # exact multiple of the lattice spacing -> uniform occupancy -> a
+        # much tighter slot capacity for the pair kernels
+        self.align_cells = True
         # round the x cell count down to a multiple (for even mesh sharding)
         self.ncx_multiple_of = 1
 
@@ -412,10 +539,15 @@ class Scene:
 
         # choose cell capacity from the densest initial cell, with slack
         margin = self.margin_frac * cutoff
+        quantum = (
+            self._lattice[0]
+            if (self.align_cells and self._lattice is not None)
+            else 0.0
+        )
         geom_probe = Geometry.build(
             self.dim, self.box_lo, self.box_hi, cutoff,
             cap=1, periodic=self.periodic, margin=margin,
-            multiple_of=(self.ncx_multiple_of, 1, 1),
+            multiple_of=(self.ncx_multiple_of, 1, 1), quantum=quantum,
         )
         cell_sz = np.asarray(geom_probe.cell_size)
         lo = np.asarray(self.box_lo)

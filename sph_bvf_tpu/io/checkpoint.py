@@ -38,6 +38,7 @@ def _geom_meta(geom: Geometry) -> dict:
         cell_size=list(geom.cell_size),
         cap=geom.cap,
         periodic=list(geom.periodic),
+        drift_budget=geom.drift_budget,
     )
 
 
@@ -69,6 +70,30 @@ def load(path: str, geom: Geometry) -> State:
             f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(State)
         }
     return State(**kwargs)
+
+
+def load_with_geometry(path: str):
+    """read_restart analog (read_restart.cpp): rebuild the Geometry from the
+    checkpoint's own metadata, so a resume needs no scene re-construction.
+    Returns (state, geom)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {meta['version']}")
+        geom = Geometry(
+            dim=meta["dim"],
+            lo=tuple(meta["lo"]),
+            hi=tuple(meta["hi"]),
+            ncells=tuple(meta["ncells"]),
+            cell_size=tuple(meta["cell_size"]),
+            cap=meta["cap"],
+            periodic=tuple(meta["periodic"]),
+            drift_budget=meta.get("drift_budget", 0.0),
+        )
+        kwargs = {
+            f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(State)
+        }
+    return State(**kwargs), geom
 
 
 class Restart:

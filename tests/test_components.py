@@ -85,3 +85,46 @@ def test_ensemble_replicas_step_together():
     np.testing.assert_array_equal(np.asarray(out.x[0]), np.asarray(out.x[1]))
     # but carry distinct RNG keys for stochastic layers
     assert not np.array_equal(np.asarray(out.key[0]), np.asarray(out.key[1]))
+
+
+def test_load_with_geometry_rebuilds_geom(tmp_path):
+    """read_restart analog: geometry reconstructed from checkpoint metadata."""
+    state, params, spec, sc = small_cavity()
+    state = setup(state, params, spec, dt=1e-4)
+    state = run_chunk(state, params, spec, 5)
+    path = os.path.join(tmp_path, "ck.npz")
+    checkpoint.save(path, state, spec.geom)
+    restored, geom = checkpoint.load_with_geometry(path)
+    assert geom == spec.geom
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(state.x))
+
+
+def test_lmp_restart_command_schedules_checkpoints(tmp_path):
+    from sph_bvf_tpu.api.lmp import parse_script
+
+    script = """
+dimension          2
+units              si
+atom_style         ssa_tsdpd/atomic 0 0 0
+boundary           f f p
+region             box block 0 1 0 1 -0.005 0.005
+create_box         1 box
+lattice            sq 0.1
+create_atoms       1 region box
+mass               1 0.01
+set                group all ssa_tsdpd/rho 1.0
+pair_style         ssa_tsdpd/bvf/transportVelocity
+pair_coeff         1 1 1.0 10.0 0.01 0.25 0.25 0.0
+fix                integ all ssa_tsdpd/bvf/transportVelocity
+timestep           1e-4
+restart            10 ck.*.npz
+run                20
+"""
+    model = parse_script(script)
+    model.run(out_dir=str(tmp_path), thermo=False)
+    assert os.path.exists(os.path.join(tmp_path, "ck.10.npz"))
+    assert os.path.exists(os.path.join(tmp_path, "ck.20.npz"))
+    restored, geom = checkpoint.load_with_geometry(
+        os.path.join(tmp_path, "ck.20.npz")
+    )
+    assert int(restored.step) == 20

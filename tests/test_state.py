@@ -143,3 +143,39 @@ def test_drift_violation_detected():
         st, x=st.x + jnp.where(st.tag[None] == 1, 0.3, 0.0)
     )
     assert int(rebin(st_big, g).drift_violation) == 1
+
+
+def test_lattice_aligned_binning_matches_unaligned():
+    """align_cells changes only the cell grid (binning), never the physics:
+    f64 fields after 20 steps match the unaligned grid to rounding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_bvf_tpu.core.stepper import run_chunk, setup
+    from sph_bvf_tpu.core.state import gather_particles
+    from sph_bvf_tpu.models import lid_cavity
+
+    outs = []
+    for align in (True, False):
+        import sph_bvf_tpu.api.scene as scene_mod
+
+        # build() constructs its own Scene; toggle via a build argument is
+        # not exposed, so patch the default
+        state, params, spec, sc = lid_cavity.build(N=16, dt=1e-4)
+        if not align:
+            sc.align_cells = False
+            state, params, spec = sc.build()
+        state = jax.tree.map(
+            lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a,
+            state,
+        )
+        state = setup(state, params, spec, dt=1e-4)
+        state = run_chunk(state, params, spec, 20)
+        out = gather_particles(state, spec.geom, fields=("x", "v", "rho"))
+        order = np.argsort(out["tag"])
+        outs.append({k: np.asarray(v)[order] for k, v in out.items()})
+    a, b = outs
+    assert a["x"].shape == b["x"].shape
+    np.testing.assert_allclose(a["x"], b["x"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(a["v"], b["v"], rtol=0, atol=1e-10)
+    np.testing.assert_allclose(a["rho"], b["rho"], rtol=1e-12)
