@@ -188,7 +188,9 @@ class LmpModel:
             else:
                 raise LmpError(f"dump field {f!r} not supported")
         path = os.path.join(out_dir, d.filename.replace("*", str(stepno)))
-        write_vtk(path, out["x"], pd)
+        from sph_bvf_tpu.io.vtk import write_auto
+
+        write_auto(path, out["x"], pd)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +236,15 @@ class _Evaluator:
             "abs": abs,
             "floor": math.floor,
             "ceil": math.ceil,
+            "round": round,
+            "sin": math.sin,
+            "cos": math.cos,
+            "tan": math.tan,
+            "asin": math.asin,
+            "acos": math.acos,
+            "atan": math.atan,
+            "atan2": math.atan2,
+            "pow": math.pow,
             "PI": math.pi,
             "count": self.count_fn or (lambda g: 0),
             "__builtins__": {},
@@ -261,6 +272,14 @@ class _Evaluator:
             "z": x[:, 2],
             "sqrt": np.sqrt,
             "abs": np.abs,
+            "exp": np.exp,
+            "ln": np.log,
+            "log": np.log10,
+            "sin": np.sin,
+            "cos": np.cos,
+            "tan": np.tan,
+            "floor": np.floor,
+            "ceil": np.ceil,
             "PI": math.pi,
             "__builtins__": {},
         }

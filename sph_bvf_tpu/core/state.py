@@ -212,6 +212,16 @@ class State:
 
     Trailing two axes are always [cap, NC]; vector/tensor/species components
     lead (see module docstring for why).
+
+    Parity note: the reference's atom style additionally allocates
+    ``Pold, Aaux, Baux, APaux, fP[3], rhoAux3, cv`` and the dense SSA
+    matrices ``dfsp_D_matrix/dfsp_D_diag/dfsp_a_i``
+    (atom_vec_ssa_tsdpd_atomic.h:60-85).  Those are allocated and
+    MPI-packed there but never read by any shipped pair style, fix, or
+    compute (grep of USER-SSA-TSDPD physics files), so they are omitted
+    here on purpose; the SSA diffusion matrix is re-derived on the fly by
+    the counter-based hop sampler (core/ssa.py) instead of being stored
+    O(N^2).
     """
 
     # -- identity / tags ---------------------------------------------------

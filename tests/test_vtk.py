@@ -53,3 +53,49 @@ def test_native_binary_readable_by_numpy(tmp_path):
     off = raw.index(b"POINTS 8 float\n") + len(b"POINTS 8 float\n")
     got = np.frombuffer(raw[off : off + 8 * 3 * 4], dtype=">f4").reshape(8, 3)
     np.testing.assert_allclose(got, pts, atol=1e-7)
+
+
+def test_xml_vtp_vtu_writers(tmp_path):
+    """write_vtp/write_vtu (dump_vtk.cpp:1348,1412 analogs): well-formed XML,
+    round-trippable points and point data, ascii and base64-binary."""
+    import base64
+    import xml.etree.ElementTree as ET
+
+    from sph_bvf_tpu.io.vtk import write_auto, write_vtp, write_vtu
+
+    pts = np.random.RandomState(0).rand(17, 3).astype(np.float32)
+    pd = {
+        "id": np.arange(17, dtype=np.int32),
+        "rho": np.linspace(1, 2, 17).astype(np.float32),
+        "vel": np.random.RandomState(1).rand(17, 3).astype(np.float32),
+    }
+
+    def decode(el, dtype):
+        if el.attrib["format"] == "binary":
+            raw = base64.b64decode(el.text.strip())
+            nbytes = np.frombuffer(raw[:4], "<u4")[0]
+            return np.frombuffer(raw[4 : 4 + nbytes], dtype)
+        return np.array(el.text.split(), dtype=dtype)
+
+    for binary in (False, True):
+        for ext in ("vtp", "vtu"):
+            path = str(tmp_path / f"t{binary}.{ext}")
+            write_auto(path, pts, pd, binary=binary)
+            root = ET.parse(path).getroot()
+            arrays = {
+                el.attrib.get("Name"): el for el in root.iter("DataArray")
+            }
+            np.testing.assert_allclose(
+                decode(arrays["Points"], "<f4").reshape(-1, 3), pts, rtol=1e-6
+            )
+            np.testing.assert_array_equal(
+                decode(arrays["id"], "<i4"), pd["id"]
+            )
+            np.testing.assert_allclose(
+                decode(arrays["vel"], "<f4").reshape(-1, 3), pd["vel"],
+                rtol=1e-6,
+            )
+            if ext == "vtu":
+                np.testing.assert_array_equal(
+                    decode(arrays["types"], "<i4"), np.ones(17, np.int32)
+                )
