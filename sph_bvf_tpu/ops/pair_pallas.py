@@ -122,23 +122,32 @@ def _row_ranges(layout) -> Dict[str, Tuple[int, int]]:
     return out
 
 
-def _select_table(tp, table_ref, T: int):
-    """table[ti, tj] without gathers: unrolled select over the T*T pairs."""
-    out = jnp.zeros_like(tp)
+def _select_table(ti, tj, table_ref, T: int):
+    """table[ti, tj] without gathers, factored over the broadcast structure:
+    the inner sum over tj runs at j shape ([1, cap, BLK] — cheap), so only T
+    pair-shaped selects+adds remain instead of the 2*T^2 a flat unrolled
+    (ti*T+tj)-select chain costs."""
+    out = None
     for a in range(T):
+        row = jnp.zeros_like(tj)
         for b in range(T):
-            out = jnp.where(tp == float(a * T + b), table_ref[a, b], out)
+            row = jnp.where(tj == float(b), table_ref[a, b], row)
+        term = jnp.where(ti == float(a), row, 0.0)  # broadcasts to pair shape
+        out = term if out is None else out + term
     return out
 
 
-def _select_table_rows(tp, table_ref, T: int, nsp: int):
-    """table[ti, tj, :] -> [nsp, *tp.shape] via the same select chain."""
+def _select_table_rows(ti, tj, table_ref, T: int, nsp: int):
+    """table[ti, tj, :] -> [nsp, pair shape] via the same factored select."""
     comps = []
     for s in range(nsp):
-        out = jnp.zeros_like(tp)
+        out = None
         for a in range(T):
+            row = jnp.zeros_like(tj)
             for b in range(T):
-                out = jnp.where(tp == float(a * T + b), table_ref[a * T + b, s], out)
+                row = jnp.where(tj == float(b), table_ref[a * T + b, s], row)
+            term = jnp.where(ti == float(a), row, 0.0)
+            out = term if out is None else out + term
         comps.append(out)
     return jnp.stack(comps, axis=0)
 
@@ -248,13 +257,13 @@ def pass_a_pallas(
             Jf["solid"] = Jf["solid"] != 0.0
             J = {k: _bc(v, "j") for k, v in Jf.items()}
 
-            tp = I["ptype"] * float(T) + J["ptype"]
+            ti, tj = I["ptype"], J["ptype"]
             coeffs = {
-                k: _select_table(tp, tab_ref[i], T)
+                k: _select_table(ti, tj, tab_ref[i], T)
                 for i, k in enumerate(tab_names)
             }
             if params.n_sdpd > 0:
-                coeffs["kap"] = _select_table_rows(tp, kap_ref, T, params.n_sdpd)
+                coeffs["kap"] = _select_table_rows(ti, tj, kap_ref, T, params.n_sdpd)
 
             notself = not_diag if off == (0, 0, 0) else True
             acc = _pass_a_offset(
