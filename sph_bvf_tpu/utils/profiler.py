@@ -48,27 +48,36 @@ def profile_step(state, params, spec, repeats: int = 20) -> dict:
             )
         ),
     }
-    # per-call dispatch overhead (large on tunneled backends) measured with
-    # a no-op and subtracted — the production loop amortizes it via lax.scan
-    noop = jax.jit(lambda s: s)
+    # On tunneled backends per-call dispatch (~ms RPC round trips) hides
+    # stage compute entirely, so each stage is iterated ON DEVICE with a
+    # lax.scan: one dispatch, `repeats` stage executions, one readback.
+    def scanned(fn):
+        def run(s):
+            out, _ = jax.lax.scan(
+                lambda c, _: (fn(c), None), s, None, length=repeats
+            )
+            return out
+
+        return jax.jit(run)
+
+    noop = scanned(lambda s: s)
     s = noop(state)
     _barrier(s)
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        s = noop(s)
+    s = noop(s)
     _barrier(s)
-    overhead = (time.perf_counter() - t0) / repeats * 1e3
+    overhead = (time.perf_counter() - t0) * 1e3  # one dispatch+readback
 
     out = {}
     for name, fn in stages.items():
-        s = fn(state)
+        sfn = scanned(fn)
+        s = sfn(state)  # compile + warm
         _barrier(s)
         t0 = time.perf_counter()
-        for _ in range(repeats):
-            s = fn(s)
+        s = sfn(state)
         _barrier(s)
         out[name] = max(
-            (time.perf_counter() - t0) / repeats * 1e3 - overhead, 0.0
+            ((time.perf_counter() - t0) * 1e3 - overhead) / repeats, 0.0
         )
     out["_dispatch_overhead"] = overhead
     return out
@@ -90,6 +99,6 @@ def print_breakdown(state, params, spec, repeats: int = 20, nsteps_hint=None):
         print(f"{name:<28s} {per_call:9.3f} {100.0 * per_step / total:6.1f}%")
     n = int(state.n_valid)
     print(f"~{total:.3f} ms/step -> {n / total * 1e3 / 1e6:.2f}M particle-steps/s "
-          f"({n} particles; dispatch overhead "
-          f"{ms['_dispatch_overhead']:.2f} ms/call excluded)")
+          f"({n} particles; dispatch+readback overhead "
+          f"{ms['_dispatch_overhead']:.2f} ms/roundtrip excluded)")
     return ms
