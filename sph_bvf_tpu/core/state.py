@@ -325,6 +325,24 @@ class State:
 # Bookkeeping leaves that carry no trailing [cap, NC] axes.
 _SCALAR_LEAVES = ("step", "dt", "key", "overflow", "drift_violation")
 
+# Per-step accumulators that force_clear (ops/pair.py) fully rewrites before
+# anything on the far side of a chunk boundary reads them — rebin can zero
+# these instead of moving them through the permutation gather (the move is
+# ~40% of rebin cost at 1M particles).  ``de`` is here because no integrator
+# reads it: the reference comments out every ``e += dtf*de`` update
+# (fix_ssa_tsdpd_bvf.cpp:209,353) — move it to the persistent set if energy
+# integration is ever enabled.
+_REBIN_DROPPABLE = ("phi", "nw", "vws", "aws", "rhoAux1", "rhoAux2", "Pnew",
+                    "de", "Qd")
+# num_den/ddx feed the NEXT step's initial_integrate only under XSPH
+# (mechanics/fsi, integrate.py:185-186) — droppable iff xsph_factor == 0.
+_REBIN_DROPPABLE_NO_XSPH = ("num_den", "ddx")
+
+
+def rebin_droppable(uses_xsph: bool) -> tuple:
+    """Accumulator leaves a rebin at the chunk boundary may zero, not move."""
+    return _REBIN_DROPPABLE + (() if uses_xsph else _REBIN_DROPPABLE_NO_XSPH)
+
 
 def particle_fields(state: State) -> dict:
     """All per-particle leaves (trailing [cap, NC]) as a dict."""
@@ -399,23 +417,35 @@ def _flat_slots(a):
     return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
 
 
-def rebin(state: State, geom: Geometry) -> State:
+def rebin(
+    state: State, geom: Geometry, drop: tuple = (), use_pallas: bool = True
+) -> State:
     """Re-scatter every particle into the cell slot owned by its position.
 
     Deterministic: rows are sorted by (cell, current flat slot).  Particles
     beyond a cell's capacity are dropped and counted in ``state.overflow``
     (which the host asserts to be zero — the analog of LAMMPS "lost atoms").
 
-    TPU shape: the permutation is one stable argsort of the [M] cell keys,
-    a cummax-based segment rank (NOT searchsorted — XLA lowers that to a
-    24ms binary-search while loop at N=200), and one i32 scatter to invert
-    it; then ALL per-particle leaves move in exactly two gathers, packed as
-    one f32 and one i32 matrix [F, M] sharing the index vector.
+    On TPU with f32 state the move runs as a locality-based Pallas kernel
+    (core/rebin_pallas.py) that produces identical slot assignments ~10x
+    faster.  The path below is the fallback and the executable spec:
+    one stable argsort of the [M] cell keys, a cummax-based segment rank
+    (NOT searchsorted — XLA lowers that to a 24ms binary-search while loop
+    at N=200), and one i32 scatter to invert it; then ALL per-particle
+    leaves move in exactly two gathers, packed as one f32 and one i32
+    matrix [F, M] sharing the index vector.  (Moving leaves individually
+    with a [cap, NC]-shaped index looks like it should skip the flatten
+    relayouts, but measures 4x slower per row at 1M particles — the packed
+    gather amortizes index processing across rows.)
+
+    ``drop``: static leaf names (see ``rebin_droppable``) to zero instead of
+    move — per-step accumulators that force_clear rewrites before any read.
     """
     NC, cap = geom.ncells_total, geom.cap
     M = NC * cap
 
     fields = particle_fields(state)
+    zeroed = {n: jnp.zeros_like(fields.pop(n)) for n in drop}
 
     # drift check BEFORE re-wrapping/re-binning: how far outside its assigned
     # cell has each particle strayed since the last rebin?
@@ -439,6 +469,26 @@ def rebin(state: State, geom: Geometry) -> State:
         drift_violation = drift_violation + jnp.sum(bad.astype(jnp.int32))
 
     fields["x"] = wrap_pbc(fields["x"], geom)
+
+    from sph_bvf_tpu.core.rebin_pallas import (
+        move_pallas,
+        rebin_pallas_eligible,
+    )
+
+    if use_pallas and rebin_pallas_eligible(state.x.dtype, geom):
+        n_before = jnp.sum(fields["valid"].astype(jnp.int32))
+        new_fields = move_pallas(fields, geom)
+        # every particle not re-placed (cell over capacity, or a
+        # drift-contract violation that left the one-cell ring) is a loss
+        lost = n_before - jnp.sum(new_fields["valid"].astype(jnp.int32))
+        new_state = dataclasses.replace(
+            state,
+            overflow=state.overflow + lost,
+            drift_violation=drift_violation,
+            **new_fields,
+            **zeroed,
+        )
+        return _neutralize_invalid(new_state)
 
     valid = _flat_slots(fields["valid"])
     cell = jnp.where(valid, _flat_slots(cell_index_of(fields["x"], geom)), NC)
@@ -493,6 +543,7 @@ def rebin(state: State, geom: Geometry) -> State:
         overflow=state.overflow + dropped,
         drift_violation=drift_violation,
         **new_fields,
+        **zeroed,
     )
     # empty slots must hold neutral denominators
     return _neutralize_invalid(new_state)
@@ -581,7 +632,9 @@ def state_from_particles(
         valid=put(st.valid, np.ones(n, bool)),
         groupmask=put(st.groupmask, np.full(n, GROUP_ALL, np.int32)),
     )
-    st = rebin(st, geom)
+    # the pre-binning slot packing is arbitrary (first n flat slots), so the
+    # locality-based Pallas move cannot apply — force the global sort path
+    st = rebin(st, geom, use_pallas=False)
     # the pre-binning slot assignment is arbitrary; only drift AFTER the
     # first real binning is meaningful
     st = dataclasses.replace(st, drift_violation=jnp.zeros((), jnp.int32))

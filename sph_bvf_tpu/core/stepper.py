@@ -36,7 +36,13 @@ from sph_bvf_tpu.core.integrate import (
     initial_integrate,
     setup_pre_force,
 )
-from sph_bvf_tpu.core.state import Geometry, Params, State, rebin
+from sph_bvf_tpu.core.state import (
+    Geometry,
+    Params,
+    State,
+    rebin,
+    rebin_droppable,
+)
 from sph_bvf_tpu.ops.pair import PairConfig, compute_forces
 
 
@@ -68,9 +74,13 @@ def step(state: State, params: Params, spec: ModelSpec) -> State:
     return state
 
 
+def _rebin_drop(spec: ModelSpec) -> tuple:
+    return rebin_droppable(bool(getattr(spec.integ, "xsph_factor", 0.0)))
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def _setup_jit(state: State, params: Params, spec: ModelSpec) -> State:
-    state = rebin(state, spec.geom)
+    state = rebin(state, spec.geom, drop=_rebin_drop(spec))
     state = setup_pre_force(state)
     state = compute_forces(state, params, spec.geom, spec.pair)
     # Modify::setup invokes post_force-style hooks (e.g. buoyancy/setforce
@@ -88,7 +98,7 @@ def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
 @partial(jax.jit, static_argnames=("spec", "n"))
 def run_chunk(state: State, params: Params, spec: ModelSpec, n: int) -> State:
     """rebin + n steps, fused into one compiled program."""
-    state = rebin(state, spec.geom)
+    state = rebin(state, spec.geom, drop=_rebin_drop(spec))
 
     def body(s, _):
         return step(s, params, spec), None

@@ -37,9 +37,10 @@ def stack_replicas(state: State, n_replicas: int, seed0: int = 0) -> State:
 def run_chunk_ensemble(state: State, params, spec: ModelSpec, n: int) -> State:
     """rebin + n steps for every replica, one compiled program."""
     from sph_bvf_tpu.core.state import rebin
+    from sph_bvf_tpu.core.stepper import _rebin_drop
 
     def chunk(s):
-        s = rebin(s, spec.geom)
+        s = rebin(s, spec.geom, drop=_rebin_drop(spec))
 
         def body(ss, _):
             return step(ss, params, spec), None
