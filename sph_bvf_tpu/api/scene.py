@@ -577,7 +577,15 @@ class Scene:
             rho = jnp.where(state.valid, state.rho, 1.0)
             state = dataclasses.replace(state, rho=rho, rhoI=rho)
 
-        solids = bool(np.any(pa.get("solid_tag", np.zeros(1)) != 0))
+        sol = np.asarray(pa.get("solid_tag", np.zeros(1))) != 0
+        fx = np.asarray(pa.get("fixed_tag", np.zeros(1))) != 0
+        if fx.shape != sol.shape:
+            fx = np.zeros(sol.shape, bool)
+        solids = bool(np.any(sol))
+        # force on a FIXED solid is never integrated (fix...:200-227) — if
+        # every solid is fixed (wall-only models) the solid force branch is
+        # statically dead (PairConfig.free_solids_present)
+        free_solids = bool(np.any(sol & ~fx))
         elastic = bool(np.any(np.asarray(params.G0) > 0))
         integ = self._integ or getattr(
             IntegratorConfig, self._pair_variant
@@ -585,6 +593,7 @@ class Scene:
         pair_kwargs = dict(self._pair_kwargs)
         # sweep 3 (vws/aws) is consumed only by the plain-bvf integrator
         pair_kwargs.setdefault("weighted_solid", integ.variant == "bvf")
+        pair_kwargs.setdefault("free_solids_present", free_solids)
         pair_cfg = getattr(PairConfig, self._pair_variant)(
             dim=self.dim,
             solids_present=solids,

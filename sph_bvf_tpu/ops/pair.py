@@ -99,6 +99,12 @@ class PairConfig:
     # static model hints (skip dead code paths entirely)
     solids_present: bool = True
     elastic_present: bool = True
+    # any solid particle is FREE (not fixed_tag)?  Fixed solids never
+    # integrate their force (fix...transport_velocity.cpp:200-227), so for
+    # wall-only models (lid cavity, natural convection) the whole
+    # solid-branch force expression is dead: fluid i gets f_fluid, solid i
+    # forces are discarded.  phi/nw/AS j-contributions are kept either way.
+    free_solids_present: bool = True
     rng_seed: int = 0
     # truncation order of the per-pair hop-count Poisson (core/ssa.py)
     ssa_poisson_terms: int = 6
@@ -168,14 +174,26 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
     # pair...transport_velocity.cpp:453-483).
     p_for_as = jnp.abs(P) if cfg.art_stress_abs_p else P
     inv_rho2 = inv_rho * inv_rho
-    AS = [[None] * 3 for _ in range(3)]
-    for a in range(3):
-        for b in range(3):
-            total = state.S[a, b] - (p_for_as if a == b else 0.0)
-            AS[a][b] = jnp.where(
-                solid & (total > 0.0), -cfg.art_stress_coef * total * inv_rho2, 0.0
-            )
-    AS = jnp.stack([jnp.stack(row, axis=0) for row in AS], axis=0)
+    if cfg.elastic_present:
+        AS = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                total = state.S[a, b] - (p_for_as if a == b else 0.0)
+                AS[a][b] = jnp.where(
+                    solid & (total > 0.0),
+                    -cfg.art_stress_coef * total * inv_rho2,
+                    0.0,
+                )
+        AS = jnp.stack([jnp.stack(row, axis=0) for row in AS], axis=0)
+        ASd = None
+    else:
+        # with S == 0 everywhere the tensor is diagonal: total = -p delta,
+        # tensile iff p < 0 — one scalar row replaces the 9-component tensor
+        total = -p_for_as
+        ASd = jnp.where(
+            solid & (total > 0.0), -cfg.art_stress_coef * total * inv_rho2, 0.0
+        )
+        AS = None
 
     return dict(
         valid=state.valid,
@@ -202,7 +220,7 @@ def _per_particle(state: State, params: Params, cfg: PairConfig):
         inv_rho=inv_rho,
         m_rho=m_rho,
         V2=V2,
-        AS=AS,
+        **({"AS": AS} if AS is not None else {"ASd": ASd}),
     )
 
 
@@ -382,10 +400,13 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     # artificial-stress force (:486-494): fa[m] = mi mj wfd (wf/wdelta)^4
     #   * sum_k dx[k] (AS_i[k,m] + AS_j[k,m])
     if cfg.solids_present:
-        xdotAS = _xdot_tensor(dx, I["AS"] + J["AS"])
-        f_art = (
-            mi * mj * wfd * (wf * coeffs["inv_wdelta"]) ** 4
-        )[None] * xdotAS
+        as_coef = mi * mj * wfd * (wf * coeffs["inv_wdelta"]) ** 4
+        if cfg.elastic_present:
+            xdotAS = _xdot_tensor(dx, I["AS"] + J["AS"])
+            f_art = as_coef[None] * xdotAS
+        else:
+            # diagonal tensor (see _per_particle): x.(AS_i+AS_j) = (as_i+as_j) dx
+            f_art = (as_coef * (I["ASd"] + J["ASd"]))[None] * dx
     else:
         f_art = 0.0
 
@@ -394,7 +415,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     if cfg.thermal:
         f_fluid = f_fluid + f_random
 
-    if cfg.solids_present:
+    if cfg.solids_present and cfg.free_solids_present:
         # solid-branch force (:504-529)
         if cfg.elastic_present:
             inv_i = I["inv_rho"] * I["inv_rho"]
@@ -618,7 +639,7 @@ def _pass_a_j_fields(params: Params, cfg: PairConfig):
         "P_rho2 inv_rho m_rho V2"
     ).split()
     if cfg.solids_present:
-        fields.append("AS")
+        fields.append("AS" if cfg.elastic_present else "ASd")
     if cfg.elastic_present:
         fields.append("S")
         if cfg.g0_chem_coupling:

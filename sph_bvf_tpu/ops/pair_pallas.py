@@ -78,7 +78,7 @@ def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
         ("P_rho2", 1), ("inv_rho", 1), ("m_rho", 1), ("V2", 1),
     ]
     if cfg.solids_present:
-        rows.append(("AS", 9))
+        rows.append(("AS", 9) if cfg.elastic_present else ("ASd", 1))
     if cfg.elastic_present:
         rows.append(("S", 9))
         if cfg.g0_chem_coupling:

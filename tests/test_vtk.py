@@ -99,3 +99,30 @@ def test_xml_vtp_vtu_writers(tmp_path):
                 np.testing.assert_array_equal(
                     decode(arrays["types"], "<i4"), np.ones(17, np.int32)
                 )
+
+
+def test_parallel_collection_writers(tmp_path):
+    """write_pvtp/write_pvtu (dump_vtk.cpp:1281,1412 parallel branches):
+    the summary references a piece file that round-trips the data."""
+    import xml.etree.ElementTree as ET
+
+    from sph_bvf_tpu.io.vtk import write_auto
+
+    pts = np.random.RandomState(2).rand(9, 3).astype(np.float32)
+    pd = {"id": np.arange(9, dtype=np.int32),
+          "vel": np.random.RandomState(3).rand(9, 3).astype(np.float32)}
+    for ext in ("pvtp", "pvtu"):
+        path = str(tmp_path / f"c.{ext}")
+        write_auto(path, pts, pd)
+        root = ET.parse(path).getroot()
+        pieces = [el.attrib["Source"] for el in root.iter("Piece")]
+        assert len(pieces) == 1
+        declared = {el.attrib["Name"] for el in root.iter("PDataArray")}
+        assert {"Points", "id", "vel"} <= declared
+        piece = ET.parse(str(tmp_path / pieces[0])).getroot()
+        arrays = {el.attrib.get("Name"): el for el in piece.iter("DataArray")}
+        got = np.array(arrays["Points"].text.split(), "<f4").reshape(-1, 3)
+        np.testing.assert_allclose(got, pts, rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.array(arrays["id"].text.split(), "<i4"), pd["id"]
+        )
