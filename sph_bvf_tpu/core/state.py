@@ -65,6 +65,10 @@ class Geometry:
     # drift this far from its assigned cell between rebins before stencil
     # pair coverage can be violated (see rebin's drift check).  0 disables.
     drift_budget: float = 0.0
+    # Initial per-cell particle count under lattice-aligned sizing (k^dim);
+    # the pair kernel splits its i-slot loop here and skips rows >= base_occ
+    # for blocks whose max occupancy never exceeds it.  0 disables.
+    base_occ: int = 0
 
     @property
     def ncells_total(self) -> int:
@@ -113,7 +117,7 @@ class Geometry:
         """
         lo = tuple(float(v) for v in lo)
         hi = tuple(float(v) for v in hi)
-        nc, cs = [], []
+        nc, cs, ks = [], [], []
         for ax in range(3):
             if ax >= dim:
                 nc.append(1)
@@ -133,6 +137,7 @@ class Geometry:
                     n = -(-n // m) * m  # round UP: extra cells are empty
                 nc.append(n)
                 cs.append(cell)
+                ks.append(k)
                 continue
             n = max(int(ext / (cutoff + margin)), 1)
             if m > 1:
@@ -150,6 +155,9 @@ class Geometry:
         budget = min(
             (cs[ax] - cutoff) / 2.0 for ax in range(dim)
         ) if cutoff > 0 else 0.0
+        # base occupancy is only known when EVERY in-dim axis is
+        # lattice-aligned (k particles per cell per axis)
+        base_occ = int(np.prod(ks)) if len(ks) == dim else 0
         return Geometry(
             dim=dim,
             lo=lo,
@@ -159,6 +167,7 @@ class Geometry:
             cap=cap,
             periodic=tuple(periodic),
             drift_budget=max(budget, 0.0),
+            base_occ=base_occ,
         )
 
 

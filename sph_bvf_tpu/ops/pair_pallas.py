@@ -213,7 +213,18 @@ def pass_a_pallas(
                 out[name] = a
         return out
 
-    def kernel(tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref):
+    # i-slot gating: rebin rank-compacts slots, so slot rows >= the lattice
+    # base occupancy are populated only where the flow has crowded cells.
+    # Rows [0, split) always run vectorized; each row in [split, cap) runs
+    # individually under a per-block max-occupancy gate (scalar prefetch).
+    split = geom.base_occ if 0 < geom.base_occ < cap else cap
+    gated_rows = list(range(split, cap))
+
+    def kernel(*refs):
+        if gated_rows:
+            occmax_ref, tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
+        else:
+            tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
         b = pl.program_id(0)
         # stage the 3-block halo window in VMEM
         buf = jnp.concatenate([left_ref[:], mid_ref[:], right_ref[:]], axis=-1)
@@ -223,84 +234,131 @@ def pass_a_pallas(
         cy = (g // sy) % ny
         cx = g // sx
 
-        ctr = unpack(buf, BLK, 2 * BLK)
-        Ifields = dict(ctr)
-        Ifields["valid"] = ctr["valid"] != 0.0
-        Ifields["solid"] = ctr["solid"] != 0.0
-        Ifields["fluid"] = ~Ifields["solid"]
-        I = {k: _bc(v, "i") for k, v in Ifields.items()}
+        def acc_for_rows(s0, s1):
+            """Accumulators for i-slot rows [s0, s1) over all offsets.
 
-        not_diag = ~(
-            jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
-        )
-
-        acc = {}
-        for name, nrows in al:
-            if name in _SCALAR_ACCS:
-                shape = (cap, BLK)
-            elif name == "dS":
-                shape = (3, 3, cap, BLK)
-            else:
-                shape = (nrows, cap, BLK)
-            acc[name] = jnp.zeros(shape, jnp.float32)
-
-        for off in offsets:
-            off_flat = off[0] * sx + off[1] * sy + off[2] * sz
-            lo = BLK + off_flat
-            Jf = unpack(buf, lo, lo + BLK)
-            inb = jnp.ones((1, 1, BLK), bool)
-            for o, c, n in ((off[0], cx, nx), (off[1], cy, ny), (off[2], cz, nz)):
-                if o != 0:
-                    inb = inb & (c + o >= 0) & (c + o < n)
-            Jf["valid"] = (Jf["valid"] != 0.0) & inb
-            Jf["solid"] = Jf["solid"] != 0.0
-            J = {k: _bc(v, "j") for k, v in Jf.items()}
-
-            ti, tj = I["ptype"], J["ptype"]
-            coeffs = {
-                k: _select_table(ti, tj, tab_ref[i], T)
-                for i, k in enumerate(tab_names)
-            }
-            if params.n_sdpd > 0:
-                coeffs["kap"] = _select_table_rows(ti, tj, kap_ref, T, params.n_sdpd)
-
-            notself = not_diag if off == (0, 0, 0) else True
-            acc = _pass_a_offset(
-                I, J, coeffs, params, cfg, 0.0, 0, notself, acc
+            I-rows are loaded straight from the middle block's ref: slicing
+            the staged value at a sublane offset (e.g. row 9 of 14) gives
+            Mosaic a nonzero-offset layout its reductions reject; a ref
+            load starts a fresh zero-offset layout.
+            """
+            ci = s1 - s0
+            ctr = unpack(mid_ref[:, s0:s1, :], 0, BLK)
+            Ifields = dict(ctr)
+            Ifields["valid"] = ctr["valid"] != 0.0
+            Ifields["solid"] = ctr["solid"] != 0.0
+            Ifields["fluid"] = ~Ifields["solid"]
+            I = {k: _bc(v, "i") for k, v in Ifields.items()}
+            not_diag = ~(
+                (s0 + jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 0))
+                == jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 1)
             )
+            acc = {}
+            for name, nrows in al:
+                if name in _SCALAR_ACCS:
+                    shape = (ci, BLK)
+                elif name == "dS":
+                    shape = (3, 3, ci, BLK)
+                else:
+                    shape = (nrows, ci, BLK)
+                acc[name] = jnp.zeros(shape, jnp.float32)
 
-        for name, nrows in al:
-            r0, r1 = arow[name]
-            out_ref[r0:r1, :, :] = acc[name].reshape(nrows, cap, BLK)
+            for off in offsets:
+                off_flat = off[0] * sx + off[1] * sy + off[2] * sz
+                lo = BLK + off_flat
+                Jf = unpack(buf, lo, lo + BLK)
+                inb = jnp.ones((1, 1, BLK), bool)
+                for o, c, n in (
+                    (off[0], cx, nx), (off[1], cy, ny), (off[2], cz, nz)
+                ):
+                    if o != 0:
+                        inb = inb & (c + o >= 0) & (c + o < n)
+                Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                Jf["solid"] = Jf["solid"] != 0.0
+                J = {k: _bc(v, "j") for k, v in Jf.items()}
+
+                ti, tj = I["ptype"], J["ptype"]
+                coeffs = {
+                    k: _select_table(ti, tj, tab_ref[i], T)
+                    for i, k in enumerate(tab_names)
+                }
+                if params.n_sdpd > 0:
+                    coeffs["kap"] = _select_table_rows(
+                        ti, tj, kap_ref, T, params.n_sdpd
+                    )
+
+                notself = not_diag if off == (0, 0, 0) else True
+                acc = _pass_a_offset(
+                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc
+                )
+            return acc
+
+        def write_rows(acc, s0, s1):
+            for name, nrows in al:
+                r0, r1 = arow[name]
+                out_ref[r0:r1, s0:s1, :] = acc[name].reshape(
+                    nrows, s1 - s0, BLK
+                )
+
+        write_rows(acc_for_rows(0, split), 0, split)
+        for r in gated_rows:
+            out_ref[:, r : r + 1, :] = jnp.zeros((A, 1, BLK), jnp.float32)
+
+            @pl.when(occmax_ref[b] > r)
+            def _():
+                write_rows(acc_for_rows(r, r + 1), r, r + 1)
 
     blockspec = lambda shift: pl.BlockSpec(
-        (F, cap, BLK), lambda b: (0, 0, b + shift), memory_space=pltpu.VMEM
+        (F, cap, BLK), lambda b, *_: (0, 0, b + shift), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(
-                (len(tab_names), T, T), lambda b: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (T * T, kap.shape[1]), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ),
-            blockspec(0),
-            blockspec(1),
-            blockspec(2),
-        ],
-        out_specs=pl.BlockSpec(
-            (A, cap, BLK), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(
+            (len(tab_names), T, T), lambda b, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((A, cap, NC_pad), jnp.float32),
+        pl.BlockSpec(
+            (T * T, kap.shape[1]), lambda b, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        blockspec(0),
+        blockspec(1),
+        blockspec(2),
+    ]
+    out_spec = pl.BlockSpec(
+        (A, cap, BLK), lambda b, *_: (0, 0, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((A, cap, NC_pad), jnp.float32)
+    kwargs = dict(
         interpret=interpret,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(tables, kap, PF, PF, PF)
+    )
+    if gated_rows:
+        # per-block max occupancy (slots are rank-compacted at rebin)
+        occ = jnp.sum(pf["valid"].astype(jnp.int32), axis=0)  # [NC]
+        occ = jnp.pad(occ, (0, NC_pad - NC))
+        occmax = jnp.max(occ.reshape(grid, BLK), axis=1)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            **kwargs,
+        )(occmax, tables, kap, PF, PF, PF)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            **kwargs,
+        )(tables, kap, PF, PF, PF)
 
     out = out[:, :, :NC]
     result = {}
