@@ -49,6 +49,11 @@ def _round_up(x: int, m: int) -> int:
 def rebin_pallas_eligible(dtype, geom) -> bool:
     if dtype != jnp.float32:
         return False
+    if geom.dim >= 3:
+        # 3^dim * cap candidate crossbars exceed Mosaic's compile budget
+        # in 3D (same limitation as the pass-A kernel — see
+        # ops/pair_pallas.py pallas_eligible)
+        return False
     # below ~3k cells the jnp sort pipeline is already cheap and the
     # kernel's fixed per-candidate crossbar cost loses (measured crossover
     # between NC=1.3k and 4.8k on v5e; 3.7x ahead by NC=113k)
@@ -64,7 +69,7 @@ def rebin_pallas_eligible(dtype, geom) -> bool:
 
 
 def move_pallas(
-    fields: Dict[str, jax.Array], geom, block: int = 768, interpret: bool = False
+    fields: Dict[str, jax.Array], geom, block: int = 0, interpret: bool = False
 ) -> Dict[str, jax.Array]:
     """Move every particle leaf to its new cell slot; returns the new dict.
 
@@ -73,6 +78,11 @@ def move_pallas(
     outside the one-cell drift ring are zeroed (valid=False) — the caller
     counts them by differencing n_valid.
     """
+    if block <= 0:
+        # 768 measured best in 2D at 1M particles; 3D candidate crossbars
+        # (3^dim * cap iterations) need small blocks to keep Mosaic's
+        # unrolled lowering compileable.
+        block = 768 if geom.dim < 3 else 128
     NC, cap = geom.ncells_total, geom.cap
     nx, ny, nz = geom.ncells
     sx, sy, sz = geom.strides

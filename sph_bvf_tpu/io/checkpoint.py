@@ -39,6 +39,7 @@ def _geom_meta(geom: Geometry) -> dict:
         cap=geom.cap,
         periodic=list(geom.periodic),
         drift_budget=geom.drift_budget,
+        base_occ=geom.base_occ,
     )
 
 
@@ -89,6 +90,7 @@ def load_with_geometry(path: str):
             cap=meta["cap"],
             periodic=tuple(meta["periodic"]),
             drift_budget=meta.get("drift_budget", 0.0),
+            base_occ=int(meta.get("base_occ", 0)),
         )
         kwargs = {
             f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(State)

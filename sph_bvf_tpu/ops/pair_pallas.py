@@ -57,6 +57,11 @@ def _round_up(x: int, m: int) -> int:
 def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
     if state.x.dtype != jnp.float32:
         return False
+    if geom.dim >= 3:
+        # 27 offsets x [cap~49, cap, BLK] vregs push Mosaic's fully
+        # unrolled lowering past a 40-minute compile even at BLK=128;
+        # 3D needs a fori_loop-over-i-rows kernel design (future work)
+        return False
     if cfg.thermal or params.n_ssa > 0:
         return False
     if any(p and n > 1 for p, n in zip(geom.periodic, geom.ncells)):
@@ -157,11 +162,24 @@ def pass_a_pallas(
     params: Params,
     geom: Geometry,
     cfg,
-    block: int = 256,
+    block: int = 0,
     interpret: bool = False,
 ) -> Dict[str, jax.Array]:
-    """Run pass A as one Pallas kernel; returns the accumulator dict."""
+    """Run pass A as one Pallas kernel; returns the accumulator dict.
+
+    Default block: 256 lanes in 2D — 768 is ~2% faster at 1M particles but
+    20% slower at 11k (few coarse blocks pipeline poorly and pad more), so
+    the large size only kicks in on big grids; 128 in 3D, where per-op vreg
+    counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
+    lowering past a 30-minute compile.
+    """
     from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset
+
+    if block <= 0:
+        if geom.dim >= 3:
+            block = 128
+        else:
+            block = 768 if geom.ncells_total >= 50_000 else 256
 
     NC, cap = geom.ncells_total, geom.cap
     T = params.ntypes
@@ -215,13 +233,24 @@ def pass_a_pallas(
 
     # i-slot gating: rebin rank-compacts slots, so slot rows >= the lattice
     # base occupancy are populated only where the flow has crowded cells.
-    # Rows [0, split) always run vectorized; each row in [split, cap) runs
-    # individually under a per-block max-occupancy gate (scalar prefetch).
+    # Rows [0, split) always run vectorized; rows in [split, cap) run in at
+    # most 4 groups, each under a per-block max-occupancy gate (scalar
+    # prefetch).  The group count is bounded because every (group, offset)
+    # pair inlines the full physics once — per-row gating in 3D (cap 49,
+    # base 27 -> 22 rows x 27 offsets) blew compile time past 30 minutes.
     split = geom.base_occ if 0 < geom.base_occ < cap else cap
-    gated_rows = list(range(split, cap))
+    n_gated = cap - split
+    # 3D kernels are already at the edge of Mosaic's unrolled-lowering
+    # compile budget (27 offsets x large [cap, cap, BLK] vregs) — one gate
+    # there, four in 2D.
+    n_groups = 4 if geom.dim < 3 else 1
+    gsize = -(-n_gated // n_groups) if n_gated else 1
+    gated_groups = [
+        (s, min(s + gsize, cap)) for s in range(split, cap, gsize)
+    ]
 
     def kernel(*refs):
-        if gated_rows:
+        if gated_groups:
             occmax_ref, tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
         else:
             tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
@@ -301,12 +330,12 @@ def pass_a_pallas(
                 )
 
         write_rows(acc_for_rows(0, split), 0, split)
-        for r in gated_rows:
-            out_ref[:, r : r + 1, :] = jnp.zeros((A, 1, BLK), jnp.float32)
+        for s0, s1 in gated_groups:
+            out_ref[:, s0:s1, :] = jnp.zeros((A, s1 - s0, BLK), jnp.float32)
 
-            @pl.when(occmax_ref[b] > r)
-            def _():
-                write_rows(acc_for_rows(r, r + 1), r, r + 1)
+            @pl.when(occmax_ref[b] > s0)
+            def _(s0=s0, s1=s1):
+                write_rows(acc_for_rows(s0, s1), s0, s1)
 
     blockspec = lambda shift: pl.BlockSpec(
         (F, cap, BLK), lambda b, *_: (0, 0, b + shift), memory_space=pltpu.VMEM
@@ -334,7 +363,7 @@ def pass_a_pallas(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
-    if gated_rows:
+    if gated_groups:
         # per-block max occupancy (slots are rank-compacted at rebin)
         occ = jnp.sum(pf["valid"].astype(jnp.int32), axis=0)  # [NC]
         occ = jnp.pad(occ, (0, NC_pad - NC))

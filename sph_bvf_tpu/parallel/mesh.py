@@ -11,6 +11,14 @@ reference's reverse_comm (comm_brick.cpp:527) by construction.
 
 Particle migration (exchange, comm_brick.cpp:585) is the rebin scatter — a
 cross-shard scatter only at chunk boundaries.
+
+Known integration point for real multi-chip runs: the Pallas kernels
+(ops/pair_pallas.py, core/rebin_pallas.py) are single-device programs —
+GSPMD cannot partition a pallas_call, so the sharded step must either run
+the jnp path (what the virtual-CPU dryrun exercises) or wrap the kernels in
+`shard_map` with one-cell-slab halo exchange via `lax.ppermute` before the
+call.  The shard_map wrapper is the planned path once multi-chip hardware
+is available; the physics underneath is identical either way.
 """
 
 from __future__ import annotations

@@ -11,7 +11,12 @@ import numpy as np
 
 from sph_bvf_tpu.core.state import gather_particles
 from sph_bvf_tpu.core.stepper import run_chunk, setup
-from sph_bvf_tpu.models import cell_polarization, fsi, natural_convection
+from sph_bvf_tpu.models import (
+    cell_polarization,
+    fsi,
+    lid_cavity3d,
+    natural_convection,
+)
 
 
 def _run(state, params, spec, dt, nsteps):
@@ -70,3 +75,20 @@ def test_cell_polarization_runs():
     assert np.allclose(out["C"][lower, 0], 1.0, atol=1e-2)
     # chemo-mechanical coupling: species diffused into the neighbors
     assert out["C"][~lower, 0].max() > 0.0
+
+
+def test_lid_cavity_3d_runs():
+    """3D extrusion of the flagship cavity: 27-offset stencils, sc lattice."""
+    state, params, spec, sc = lid_cavity3d.build(N=10, rebin_every=5)
+    assert spec.geom.dim == 3
+    n0 = int(state.n_valid)
+    state = _run(state, params, spec, dt=1e-4, nsteps=30)
+    assert int(state.overflow) == 0
+    assert int(state.n_valid) == n0
+    out = gather_particles(state, spec.geom, fields=("v", "rho", "solid_tag"))
+    assert np.isfinite(out["v"]).all() and np.isfinite(out["rho"]).all()
+    fluid = out["solid_tag"] == 0
+    # lid drag has set the top fluid layer moving in +x
+    assert out["v"][fluid, 0].max() > 1e-3
+    # weak compressibility holds in 3D
+    assert abs(out["rho"][fluid].mean() - 1.0) < 0.05
