@@ -57,11 +57,6 @@ def _round_up(x: int, m: int) -> int:
 def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
     if state.x.dtype != jnp.float32:
         return False
-    if geom.dim >= 3:
-        # 27 offsets x [cap~49, cap, BLK] vregs push Mosaic's fully
-        # unrolled lowering past a 40-minute compile even at BLK=128;
-        # 3D needs a fori_loop-over-i-rows kernel design (future work)
-        return False
     if cfg.thermal or params.n_ssa > 0:
         return False
     if any(p and n > 1 for p, n in zip(geom.periodic, geom.ncells)):
@@ -164,6 +159,7 @@ def pass_a_pallas(
     cfg,
     block: int = 0,
     interpret: bool = False,
+    rowloop: bool | None = None,
 ) -> Dict[str, jax.Array]:
     """Run pass A as one Pallas kernel; returns the accumulator dict.
 
@@ -238,19 +234,32 @@ def pass_a_pallas(
     # prefetch).  The group count is bounded because every (group, offset)
     # pair inlines the full physics once — per-row gating in 3D (cap 49,
     # base 27 -> 22 rows x 27 offsets) blew compile time past 30 minutes.
+    # i-slot strategy.  Rebin rank-compacts slots, so slot rows >= the
+    # lattice base occupancy are populated only where the flow has crowded
+    # cells.  Two kernel shapes:
+    #   * 2D (grouped): rows [0, split) vectorized; rows in [split, cap) in
+    #     at most 4 statically-unrolled groups, each under a per-block
+    #     max-occupancy gate.  Fully unrolled — fastest, but every
+    #     (group, offset) pair inlines the physics once, which is only
+    #     affordable with 2D's 9 offsets.
+    #   * 3D (row loop): one lax.fori_loop over i-rows with the block's max
+    #     occupancy as the trip count — work scales with actual occupancy
+    #     and Mosaic compiles 27 offsets x [1, cap, BLK] in minutes where
+    #     the unrolled form took >40.
+    if rowloop is None:
+        rowloop = geom.dim >= 3
     split = geom.base_occ if 0 < geom.base_occ < cap else cap
     n_gated = cap - split
-    # 3D kernels are already at the edge of Mosaic's unrolled-lowering
-    # compile budget (27 offsets x large [cap, cap, BLK] vregs) — one gate
-    # there, four in 2D.
-    n_groups = 4 if geom.dim < 3 else 1
-    gsize = -(-n_gated // n_groups) if n_gated else 1
-    gated_groups = [
-        (s, min(s + gsize, cap)) for s in range(split, cap, gsize)
-    ]
+    gsize = -(-n_gated // 4) if n_gated else 1
+    gated_groups = (
+        []
+        if rowloop
+        else [(s, min(s + gsize, cap)) for s in range(split, cap, gsize)]
+    )
+    need_occmax = rowloop or bool(gated_groups)
 
     def kernel(*refs):
-        if gated_groups:
+        if need_occmax:
             occmax_ref, tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
         else:
             tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
@@ -263,25 +272,21 @@ def pass_a_pallas(
         cy = (g // sy) % ny
         cx = g // sx
 
-        def acc_for_rows(s0, s1):
-            """Accumulators for i-slot rows [s0, s1) over all offsets.
+        def acc_for_ibuf(ibuf, not_diag):
+            """Accumulators for the staged i-rows over all offsets.
 
-            I-rows are loaded straight from the middle block's ref: slicing
-            the staged value at a sublane offset (e.g. row 9 of 14) gives
-            Mosaic a nonzero-offset layout its reductions reject; a ref
-            load starts a fresh zero-offset layout.
+            ``ibuf`` is a fresh ref load [F, ci, BLK]: slicing the staged
+            halo value at a sublane offset (e.g. row 9 of 14) gives Mosaic
+            a nonzero-offset layout its reductions reject; a ref load
+            starts a fresh zero-offset layout.
             """
-            ci = s1 - s0
-            ctr = unpack(mid_ref[:, s0:s1, :], 0, BLK)
+            ci = ibuf.shape[1]
+            ctr = unpack(ibuf, 0, BLK)
             Ifields = dict(ctr)
             Ifields["valid"] = ctr["valid"] != 0.0
             Ifields["solid"] = ctr["solid"] != 0.0
             Ifields["fluid"] = ~Ifields["solid"]
             I = {k: _bc(v, "i") for k, v in Ifields.items()}
-            not_diag = ~(
-                (s0 + jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 0))
-                == jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 1)
-            )
             acc = {}
             for name, nrows in al:
                 if name in _SCALAR_ACCS:
@@ -322,20 +327,46 @@ def pass_a_pallas(
                 )
             return acc
 
-        def write_rows(acc, s0, s1):
+        def write_rows(acc, s0, ci):
             for name, nrows in al:
                 r0, r1 = arow[name]
-                out_ref[r0:r1, s0:s1, :] = acc[name].reshape(
-                    nrows, s1 - s0, BLK
+                out_ref[r0:r1, pl.dslice(s0, ci), :] = acc[name].reshape(
+                    nrows, ci, BLK
                 )
 
-        write_rows(acc_for_rows(0, split), 0, split)
+        def static_not_diag(s0, ci):
+            return ~(
+                (s0 + jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 0))
+                == jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 1)
+            )
+
+        if rowloop:
+            out_ref[...] = jnp.zeros((A, cap, BLK), jnp.float32)
+
+            def body(r, carry):
+                nd = ~(
+                    r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+                )
+                acc = acc_for_ibuf(mid_ref[:, pl.dslice(r, 1), :], nd)
+                write_rows(acc, r, 1)
+                return carry
+
+            jax.lax.fori_loop(0, occmax_ref[b], body, 0)
+            return
+
+        acc0 = acc_for_ibuf(
+            mid_ref[:, 0:split, :], static_not_diag(0, split)
+        )
+        write_rows(acc0, 0, split)
         for s0, s1 in gated_groups:
             out_ref[:, s0:s1, :] = jnp.zeros((A, s1 - s0, BLK), jnp.float32)
 
             @pl.when(occmax_ref[b] > s0)
             def _(s0=s0, s1=s1):
-                write_rows(acc_for_rows(s0, s1), s0, s1)
+                acc = acc_for_ibuf(
+                    mid_ref[:, s0:s1, :], static_not_diag(s0, s1 - s0)
+                )
+                write_rows(acc, s0, s1 - s0)
 
     blockspec = lambda shift: pl.BlockSpec(
         (F, cap, BLK), lambda b, *_: (0, 0, b + shift), memory_space=pltpu.VMEM
@@ -363,7 +394,7 @@ def pass_a_pallas(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
-    if gated_groups:
+    if need_occmax:
         # per-block max occupancy (slots are rank-compacted at rebin)
         occ = jnp.sum(pf["valid"].astype(jnp.int32), axis=0)  # [NC]
         occ = jnp.pad(occ, (0, NC_pad - NC))

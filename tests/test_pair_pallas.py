@@ -77,3 +77,27 @@ def test_kernel_handles_species(cavity):
         err = float(jnp.max(jnp.abs(jnp.asarray(acc[name]) - getattr(ref, name))))
         scale = max(float(jnp.max(jnp.abs(getattr(ref, name)))), 1e-12)
         assert err <= 5e-6 * scale, (name, err, scale)
+
+
+def test_kernel_3d_rowloop_matches_jnp_path():
+    """3D uses the fori_loop-over-i-rows kernel shape (27 offsets); the
+    trip count comes from per-block max occupancy, so empty high slots are
+    skipped — results must still match the jnp path exactly."""
+    from sph_bvf_tpu.models import lid_cavity3d
+
+    state, params, spec, _ = lid_cavity3d.build(N=6)
+    state = setup(state, params, spec, dt=1e-4)
+    cfg = spec.pair
+    ref = compute_forces(
+        state, params, spec.geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, spec.geom, cfg, block=128, interpret=True)
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
