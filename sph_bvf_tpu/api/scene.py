@@ -179,6 +179,15 @@ class _Cone(Region):
     lo: float
     hi: float
 
+    def __post_init__(self):
+        # region_cone.cpp rejects a degenerate axis extent; without this the
+        # t-interpolation below divides by zero (NaN comparisons -> silently
+        # empty region instead of the reference's error)
+        if not self.hi > self.lo:
+            raise ValueError(
+                f"cone axis extent must satisfy hi > lo (got {self.lo}, {self.hi})"
+            )
+
     def contains(self, x):
         a = _AXIS[self.axis]
         o1, o2 = _OTHER[a]
@@ -197,6 +206,10 @@ class _Cone(Region):
 class _Plane(Region):
     p: Tuple[float, float, float]
     n: Tuple[float, float, float]
+
+    def __post_init__(self):
+        if not np.linalg.norm(np.asarray(self.n, dtype=float)) > 0.0:
+            raise ValueError("plane normal must be nonzero (region_plane.cpp)")
 
     def contains(self, x):
         n = np.asarray(self.n, dtype=float)
@@ -591,8 +604,11 @@ class Scene:
             IntegratorConfig, self._pair_variant
         )()
         pair_kwargs = dict(self._pair_kwargs)
-        # sweep 3 (vws/aws) is consumed only by the plain-bvf integrator
-        pair_kwargs.setdefault("weighted_solid", integ.variant == "bvf")
+        # sweep 3 (vws/aws) is consumed only by the plain-bvf and zhang
+        # integrators' moving-wall reflections
+        pair_kwargs.setdefault(
+            "weighted_solid", integ.variant in ("bvf", "zhang")
+        )
         pair_kwargs.setdefault("free_solids_present", free_solids)
         pair_cfg = getattr(PairConfig, self._pair_variant)(
             dim=self.dim,
@@ -600,6 +616,14 @@ class Scene:
             elastic_present=elastic,
             **pair_kwargs,
         )
+        # fix ssa_tsdpd/buoyancy rejects a body force along a periodic
+        # dimension (fix_ssa_tsdpd_buoyancy.cpp:63-68)
+        for fobj in self._fixes:
+            if isinstance(fobj, fixes_mod.Buoyancy) and self.periodic[fobj.dim]:
+                raise ValueError(
+                    f"buoyancy along periodic dimension {fobj.dim} "
+                    "(fix_ssa_tsdpd_buoyancy.cpp:63-68)"
+                )
         spec = ModelSpec(
             geom=geom,
             pair=pair_cfg,

@@ -40,6 +40,7 @@ TRANSPORT_VELOCITY = "transport_velocity"
 MECHANICS = "mechanics"
 FSI = "fsi"
 BVF = "bvf"
+ZHANG = "zhang"
 STATIONARY = "stationary"
 
 
@@ -94,10 +95,14 @@ class IntegratorConfig:
 
     @staticmethod
     def zhang(**kw):
-        """fix ssa_tsdpd/bvf/zhang — near-duplicate of the transportVelocity
-        integrator (fix_ssa_tsdpd_bvf_zhang.cpp, a Zhang-2017 density-scheme
-        experiment with formatting-level diffs)."""
-        return IntegratorConfig(variant=TRANSPORT_VELOCITY, **kw)
+        """fix ssa_tsdpd/bvf/zhang — the Zhang-2017 density-scheme
+        experiment (fix_ssa_tsdpd_bvf_zhang.cpp).  NOT an alias: free
+        solids use the fluid transport-velocity scheme with a full-dtv
+        deviatoric step (:181-190), the bounce-back is the moving-wall
+        reflection with vws/aws NORMALIZED by number_density (:159-166,
+        :341-343), and the filtered density update is the (sic) inverted
+        ``rhoAux2 / min(rhoAux1, 1)`` form (:358-359), replicated as-is."""
+        return IntegratorConfig(variant=ZHANG, **kw)
 
     @staticmethod
     def stationary(**kw):
@@ -180,6 +185,29 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
             C=_clamped_species_halfstep(state, dtf),
         )
 
+    if cfg.variant == ZHANG:
+        # fix_ssa_tsdpd_bvf_zhang.cpp:166-232: every free particle (fluid
+        # AND solid) takes the fluid transport-velocity scheme, and fixed
+        # fluids too; free solids additionally advance the deviatoric
+        # tensor by a FULL dtv (:181-187).  Fixed solids only set rhoI.
+        moving = (free_fluid | free_solid | fixed_fluid)[None]
+        vest = jnp.where(moving, state.v + dtfm * state.f, state.vest)
+        v = jnp.where(moving, vest - dtfm * state.ddv, state.v)
+        x = state.x + jnp.where(moving, dtv * v, 0.0)
+        S = state.S + jnp.where(free_solid[None, None], dtv * state.dS, 0.0)
+        adv = free_fluid | free_solid | fixed_fluid
+        rho = state.rho + jnp.where(adv, dtf * state.drho, 0.0)
+        return dataclasses.replace(
+            state,
+            vest=vest,
+            v=v,
+            x=x,
+            S=S,
+            rhoI=jnp.where(state.valid, state.rho, state.rhoI),
+            rho=rho,
+            C=_clamped_species_halfstep(state, dtf),
+        )
+
     # --- transport_velocity / mechanics / fsi family -----------------------
     damp, damp_solid = _damps(state, cfg, dtype)
     nden = state.num_den[None]
@@ -254,6 +282,12 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
 
     if cfg.variant == BVF:
         return _final_integrate_bvf(
+            state, params, cfg, dtv, dtf, dtfm,
+            free_fluid, free_solid, fixed_fluid, fixed_solid,
+        )
+
+    if cfg.variant == ZHANG:
+        return _final_integrate_zhang(
             state, params, cfg, dtv, dtf, dtfm,
             free_fluid, free_solid, fixed_fluid, fixed_solid,
         )
@@ -365,6 +399,69 @@ def _final_integrate_bvf(
         x=x,
         S=S,
         rho=jnp.where(state.valid, rho, 1.0),
+        C=_clamped_species_halfstep(state, dtf),
+        Cd=_clamped_ssa(state),
+    )
+
+
+def _final_integrate_zhang(
+    state, params, cfg, dtv, dtf, dtfm,
+    free_fluid, free_solid, fixed_fluid, fixed_solid,
+):
+    """fix_ssa_tsdpd_bvf_zhang.cpp:246-443 — transport-velocity final kicks
+    with a moving-wall reflection and the Zhang density experiment.
+
+    Differences from the tv family: vws/aws are NORMALIZED by
+    number_density before entering the reflection (:305-311); the free-fluid
+    bounce-back uses the moving-wall form 2U + a dtv - v + 2max(0,v.en)en
+    with NO position rewind (:341-343); free solids get no deviatoric
+    update in final_integrate (commented out, :348-355) while fixed solids
+    advance it by dtf (:399-403); and the filtered free density update is
+    the (sic) ``rhoAux2 / min(rhoAux1, 1) + dtf drho`` form (:358-359) with
+    ``rho = rhoI + dtv drho`` off-filter.
+    """
+    nden = jnp.maximum(state.num_den, 1e-30)
+    phi = state.phi / nden
+    nw = state.nw / nden[None]
+    vws = state.vws / nden[None]
+    aws = state.aws / nden[None]
+
+    # final velocity for everything that moves (:318-321, :368-371)
+    moving = free_fluid | free_solid | fixed_fluid
+    v = jnp.where(moving[None], state.vest + dtfm * state.f, state.v)
+
+    norm = jnp.sqrt(jnp.sum(nw * nw, axis=0, keepdims=True))
+    en = -nw / jnp.maximum(norm, 1e-30)
+    v_dot_en = jnp.sum(v * en, axis=0, keepdims=True)
+    refl = 2.0 * jnp.maximum(0.0, v_dot_en) * en
+    gate_free = free_fluid & (phi > 0.5)
+    gate_fixed = fixed_fluid & (phi > 0.5)
+    v = jnp.where(gate_free[None], 2.0 * vws + aws * dtv - v + refl, v)
+    v = jnp.where(gate_fixed[None], -v + refl, v)
+
+    S = state.S + jnp.where(fixed_solid[None, None], dtf * state.dS, 0.0)
+
+    # density (:357-361 free; :394-396 fixed fluid; :404-407 fixed solid)
+    if 0 < cfg.freq_filter <= 2**31 - 1:
+        on_filter = (state.step % cfg.freq_filter) == 0
+    else:
+        on_filter = jnp.zeros((), bool)
+    aux = state.rhoAux2 / jnp.minimum(state.rhoAux1, 1.0)
+    rho_free = jnp.where(on_filter, aux + dtf * state.drho,
+                         state.rhoI + dtv * state.drho)
+    rho = jnp.where(
+        free_fluid | free_solid, rho_free,
+        jnp.where(fixed_fluid, state.rhoI + dtv * state.drho, state.rhoI),
+    )
+    return dataclasses.replace(
+        state,
+        v=v,
+        S=S,
+        rho=jnp.where(state.valid, rho, 1.0),
+        phi=phi,
+        nw=nw,
+        vws=vws,
+        aws=aws,
         C=_clamped_species_halfstep(state, dtf),
         Cd=_clamped_ssa(state),
     )

@@ -126,11 +126,15 @@ class Geometry:
             ext = hi[ax] - lo[ax]
             m = multiple_of[ax]
             if quantum > 0.0 and not periodic[ax]:
-                k = max(
-                    int(round((cutoff + margin) / quantum)),
-                    int(np.ceil(cutoff / quantum - 1e-9)),
-                    1,
-                )
+                k = max(int(round((cutoff + margin) / quantum)), 1)
+                # cell must exceed cutoff STRICTLY: k*quantum == cutoff
+                # makes drift_budget 0.0, which rebin reads as "drift check
+                # disabled" — coverage would silently break on any drift
+                # instead of tripping the runtime guard.  Require a
+                # meaningfully positive margin (1e-6 of a lattice spacing
+                # also absorbs f32 rounding of cutoff/quantum).
+                while k * quantum - cutoff < 1e-6 * quantum:
+                    k += 1
                 cell = k * quantum
                 n = max(int(np.ceil(ext / cell - 1e-9)), 1)
                 if m > 1:
@@ -484,7 +488,11 @@ def rebin(
         rebin_pallas_eligible,
     )
 
-    if use_pallas and rebin_pallas_eligible(state.x.dtype, geom):
+    n_rows = sum(
+        int(np.prod(a.shape[:-2], dtype=np.int64)) or 1
+        for a in fields.values()
+    )
+    if use_pallas and rebin_pallas_eligible(state.x.dtype, geom, n_rows):
         n_before = jnp.sum(fields["valid"].astype(jnp.int32))
         new_fields = move_pallas(fields, geom)
         # every particle not re-placed (cell over capacity, or a

@@ -33,12 +33,21 @@ def build(N: int = 50, Re: float = 100.0, U0: float = 1.0,
     sc = Scene(dim=3, boundary=("f", "f", "f"))
     sc.rebin_every = rebin_every
     sc.create_box(2, Region.block(lo, hi, lo, hi, lo, hi))
-    sc.lattice("sc", delta)
+    # half-spacing origin on ALL axes (the default z origin of 0.0 puts
+    # lattice planes exactly on the cavity faces z = 0, L, making the
+    # innermost wall layer's presence depend on float rounding of N*delta)
+    sc.lattice("sc", delta, origin=(0.5, 0.5, 0.5))
 
-    box = Region.block(lo, hi, lo, hi, lo, hi)
-    cavity = Region.block(0.0, L, 0.0, L, 0.0, L)
+    # six face-inclusive wall slabs, mirroring the validated 2D construction
+    # (models/lid_cavity.py); the union dedupes shared edges/corners because
+    # create_atoms selects each lattice site once
+    left = Region.block(lo, 0.0, lo, hi, lo, hi)
+    right = Region.block(L, hi, lo, hi, lo, hi)
+    front = Region.block(lo, hi, lo, 0.0, lo, hi)
+    back = Region.block(lo, hi, L, hi, lo, hi)
+    bottom = Region.block(lo, hi, lo, hi, lo, 0.0)
     lid = Region.block(lo, hi, lo, hi, L, hi)  # top slab (z > L) drives
-    sc.create_atoms(2, box - cavity)
+    sc.create_atoms(2, left | right | front | back | bottom | lid)
     sc.group_region("lid", lid)
 
     eps = 1e-3 * delta

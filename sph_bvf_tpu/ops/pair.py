@@ -437,6 +437,11 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     else:
         fsum = f_fluid
     acc["f"] += jnp.sum(fsum, axis=RED)
+    if "vir" in acc:
+        # pairwise virial r_ij . f_ij (the full-neighbor analog of LAMMPS
+        # Pair::ev_tally's v_tally, pair.cpp; each pair appears twice over
+        # i, so the global virial is 0.5 * sum_i of this row)
+        acc["vir"] += jnp.sum(_dot3(dx, fsum), axis=RED)
 
     # Jaumann deviatoric stress rate (:433-451)
     if cfg.elastic_present:
@@ -607,6 +612,52 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
     return jnp.stack(comps, axis=0)
 
 
+def compute_pair_virial(state: State, params: Params, geom: Geometry,
+                        cfg: PairConfig):
+    """Per-particle pairwise virial sum_j r_ij . f_ij as [cap, NC].
+
+    Feeds the thermo ``press`` keyword (thermo.cpp:56 -> compute pressure):
+    P = (sum m v^2 + 0.5 sum_i vir_i) / (dim V).  Runs the jnp offset loop
+    at thermo cadence only — never in the hot step — so the Pallas kernels
+    stay free of the extra accumulator.
+    """
+    NC, cap = geom.ncells_total, geom.cap
+    f32 = state.x.dtype
+    pf = _per_particle(state, params, cfg)
+    I = {k: _bc(v, "i") for k, v in pf.items()}
+    not_diag = ~(
+        jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :]
+    )[:, :, None]
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+
+    def zeros(*lead):
+        return jnp.zeros(lead + (cap, NC), f32)
+
+    acc = dict(
+        num_den=zeros(), rhoAux1=zeros(), rhoAux2=zeros(),
+        ddv=zeros(3), ddx=zeros(3), f=zeros(3), dS=zeros(3, 3),
+        drho=zeros(), de=zeros(), phi=zeros(), nw=zeros(3),
+        Q=jnp.zeros((params.n_sdpd, cap, NC), f32),
+        Qd=jnp.zeros((params.n_ssa, cap, NC), jnp.int32),
+        vir=zeros(),
+    )
+    ja_fields = _pass_a_j_fields(params, cfg)
+    for off in geom.stencil_offsets():
+        J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
+        notself = not_diag if off == (0, 0, 0) else True
+        coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params, cfg)
+        acc = _pass_a_offset(
+            I, J, coeffs, params, cfg, state.dt, state.step, notself, acc,
+            seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
+            pbc=pbc,
+        )
+    return jnp.where(state.valid, acc["vir"], 0.0)
+
+
 # ---------------------------------------------------------------------------
 # pass B: sweep 3 (weighted solid velocity/acceleration near fluids)
 # ---------------------------------------------------------------------------
@@ -717,8 +768,9 @@ def compute_forces(
             )
 
     # ---- pass B needs the fresh forces ------------------------------------
-    # vws/aws are consumed ONLY by the plain-bvf integrator's moving-wall
-    # reflection (fix_ssa_tsdpd_bvf.cpp:276-292); the reference pair styles
+    # vws/aws are consumed ONLY by the plain-bvf and zhang integrators'
+    # moving-wall reflections (fix_ssa_tsdpd_bvf.cpp:276-292,
+    # fix_ssa_tsdpd_bvf_zhang.cpp:341-343); the reference pair styles
     # compute sweep 3 unconditionally but the tv/mechanics/fsi integrators
     # never read it, so it is skipped unless requested.
     acc_b = dict(vws=zeros(3), aws=zeros(3))

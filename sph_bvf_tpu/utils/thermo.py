@@ -2,10 +2,18 @@
 
 Supports the reference's `thermo_style custom` keyword subset used by the
 examples (step dt press temp etotal, thermo.cpp:56 keyword table) plus the
-framework's own columns.  `press` is the mean Tait pressure over valid
-particles, `temp` the kinetic-energy temperature 2*KE/(dim*N*kB), `etotal`
-the total kinetic energy (the reference's per-atom e is carried but no
-shipped physics integrates it, so KE is the meaningful total here).
+framework's own columns.
+
+`temp` follows compute_temp.cpp exactly: T = sum(m v^2) * mvv2e /
+(dof * boltz) with dof = dim*N - dim (extra_dof = dim).  `press` follows
+compute_pressure.cpp when geometry + pair config are supplied: the virial
+pressure P = (sum m v^2 + 0.5 sum_i sum_j r_ij.f_ij) / (dim V), with the
+pairwise virial evaluated by ops/pair.compute_pair_virial at thermo cadence
+(the reference tallies it every step in ev_tally; tallying only when quoted
+is the TPU-friendly equivalence).  Without geometry it falls back to the
+mean Tait pressure (labeled `press_tait`).  `etotal` is the total kinetic
+energy (the reference's per-atom e is carried but no shipped physics
+integrates it).
 """
 
 from __future__ import annotations
@@ -21,20 +29,37 @@ class StopSimulation(RuntimeError):
     the graceful analog of fix halt (fix_halt.cpp)."""
 
 
-def thermo_row(state, params, dim: int = 2):
-    """Global diagnostics computed on device; returns small dict of floats."""
+def thermo_row(state, params, dim: int = 2, geom=None, pair_cfg=None):
+    """Global diagnostics computed on device; returns small dict of floats.
+
+    With ``geom`` and ``pair_cfg`` supplied, ``press`` is the true virial
+    pressure (compute_pressure.cpp); otherwise the mean Tait pressure.
+    """
     from sph_bvf_tpu.ops.eos import tait_pressure
 
     valid = state.valid
     n = jnp.sum(valid)
     vsq = jnp.where(valid, jnp.sum(state.v * state.v, axis=0), 0.0)
     m = params.mass[state.ptype]
-    ke = 0.5 * jnp.sum(jnp.where(valid, m * vsq, 0.0))
+    mvsq = jnp.sum(jnp.where(valid, m * vsq, 0.0))
+    ke = 0.5 * mvsq
     rho = jnp.where(valid, state.rho, jnp.nan)
     P = tait_pressure(state.rho, params.rho0[state.ptype], params.B[state.ptype])
-    press = jnp.sum(jnp.where(valid, P, 0.0)) / jnp.maximum(n, 1)
-    nf = jnp.maximum(n, 1).astype(ke.dtype)
-    temp = 2.0 * ke / (dim * nf * params.boltz)
+    press_tait = jnp.sum(jnp.where(valid, P, 0.0)) / jnp.maximum(n, 1)
+    if geom is not None and pair_cfg is not None:
+        from sph_bvf_tpu.ops.pair import compute_pair_virial
+
+        vir = 0.5 * jnp.sum(compute_pair_virial(state, params, geom, pair_cfg))
+        vol = 1.0
+        for ax in range(dim):
+            vol *= geom.hi[ax] - geom.lo[ax]
+        # compute_pressure.cpp scalar: (sum m v^2 * mvv2e + virial)/(dim V)
+        press = (mvsq * params.ftm2v + vir) / (dim * vol)
+    else:
+        press = press_tait
+    # compute_temp.cpp: dof = dim*N - extra_dof, extra_dof = dim
+    dof = jnp.maximum(dim * n - dim, 1).astype(ke.dtype)
+    temp = mvsq * params.ftm2v / (dof * params.boltz)
     return dict(
         step=int(state.step),
         dt=float(state.dt),
@@ -43,6 +68,7 @@ def thermo_row(state, params, dim: int = 2):
         ke=float(ke),
         etotal=float(ke),
         press=float(press),
+        press_tait=float(press_tait),
         temp=float(temp),
         rho_min=float(jnp.nanmin(rho)),
         rho_max=float(jnp.nanmax(rho)),
@@ -58,6 +84,7 @@ _FORMATS = {
     "ke": "{ke:.6e}",
     "etotal": "{etotal:.6e}",
     "press": "{press:.6e}",
+    "press_tait": "{press_tait:.6e}",
     "temp": "{temp:.4e}",
 }
 
@@ -68,11 +95,15 @@ class ThermoLogger:
     ``columns`` mirrors `thermo_style custom ...`; unknown keywords raise.
     """
 
-    def __init__(self, params, every=1000, file=None, columns=None, dim=2):
+    def __init__(self, params, every=1000, file=None, columns=None, dim=2,
+                 geom=None, pair_cfg=None):
         self.params = params
         self.every = every
         self.file = file
         self.dim = dim
+        # supply geom + pair_cfg for the true virial `press` (see thermo_row)
+        self.geom = geom
+        self.pair_cfg = pair_cfg
         self.columns = list(columns) if columns else ["step", "n", "vmax", "ke"]
         for c in self.columns:
             if c not in _FORMATS:
@@ -84,7 +115,8 @@ class ThermoLogger:
         self.history = []
 
     def __call__(self, state):
-        row = thermo_row(state, self.params, dim=self.dim)
+        row = thermo_row(state, self.params, dim=self.dim,
+                         geom=self.geom, pair_cfg=self.pair_cfg)
         now = time.perf_counter()
         if self._t0 is None:
             self._t0 = now

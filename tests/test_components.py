@@ -71,7 +71,7 @@ def test_checkpoint_geometry_mismatch(tmp_path):
 
 def test_integrator_aliases():
     assert IntegratorConfig.artificial_stress().variant == "bvf"
-    assert IntegratorConfig.zhang().variant == "transport_velocity"
+    assert IntegratorConfig.zhang().variant == "zhang"
 
 
 def test_ensemble_replicas_step_together():

@@ -1,0 +1,419 @@
+"""End-to-end integrator-variant validation against per-particle transcriptions.
+
+Closes the round-1 gap: the plain-bvf, zhang, stationary, and dt/adaptive
+variants were implemented but had no test exercising their unique branches.
+
+Each test drives the SAME force evaluation (ops/pair.compute_forces, itself
+f64-validated against the brute-force spec in tests/ref_pair.py) through two
+steppers: the framework's masked integrator (core/integrate.py) and a scalar
+per-particle numpy transcription of the corresponding reference fix
+(citations inline) — so any divergence isolates an integrator-branch bug.
+The random system mixes free/fixed x fluid/solid particles and seeds solid
+clusters dense enough that some fluid crosses the phi > 0.5 bounce-back
+gate, with MOVING free solids so the weighted-solid reflection terms
+(vws/aws) are nonzero.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_bvf_tpu.core.integrate import (
+    IntegratorConfig,
+    final_integrate,
+    initial_integrate,
+    setup_pre_force,
+)
+from sph_bvf_tpu.core.state import gather_particles, scatter_by_tag
+from sph_bvf_tpu.ops.pair import PairConfig, compute_forces
+
+from test_pair import build_state_params, random_system
+
+
+ACC_FIELDS = (
+    "f", "drho", "Q", "ddv", "ddx", "phi", "nw", "num_den",
+    "vws", "aws", "dS", "rhoAux1", "rhoAux2",
+)
+DYN_FIELDS = ("x", "v", "vest", "rho", "rhoI", "C", "S")
+
+
+def clustered_system(seed=11, n=140):
+    """random_system + a dense free-solid cluster and penetrating fluid.
+
+    Guarantees (asserted by the tests): at least one fluid particle with
+    normalized phi > 0.5 (bounce-back branch taken) and nonzero vws/aws
+    (moving-wall terms matter).
+    """
+    sys = random_system(seed=seed, n=n)
+    rng = np.random.default_rng(seed + 1000)
+    # a 5x5 lattice of FREE solids around (0.3, 0.3), all moving together
+    k = 0
+    for i in range(n):
+        if k >= 25:
+            break
+        gx, gy = divmod(k, 5)
+        sys["x"][i] = (0.25 + 0.025 * gx, 0.25 + 0.025 * gy)
+        sys["solid"][i] = True
+        sys["fixed"][i] = False
+        sys["v"][i] = (0.05, -0.03, 0.0)
+        sys["vest"][i] = sys["v"][i]
+        sys["S"][i] = 0.01 * np.eye(3)
+        k += 1
+    # two fluid particles INSIDE the cluster => phi ~ 1 immediately
+    for j, pos in ((k, (0.3, 0.3)), (k + 1, (0.31, 0.29))):
+        sys["x"][j] = pos
+        sys["solid"][j] = False
+        sys["fixed"][j] = False
+        sys["v"][j] = rng.normal(0, 0.05, 3)
+        sys["v"][j][2] = 0.0
+        sys["vest"][j] = sys["v"][j]
+    return sys
+
+
+def _np_state(sys, ns=1):
+    n = sys["x"].shape[0]
+    x3 = np.concatenate([sys["x"], np.zeros((n, 1))], axis=1)
+    return dict(
+        x=x3.astype(np.float64),
+        v=sys["v"].astype(np.float64).copy(),
+        vest=sys["vest"].astype(np.float64).copy(),
+        rho=sys["rho"].astype(np.float64).copy(),
+        rhoI=sys["rhoI"].astype(np.float64).copy(),
+        C=sys["C"].astype(np.float64).copy(),
+        S=sys["S"].astype(np.float64).copy(),
+        solid=sys["solid"].copy(),
+        fixed=sys["fixed"].copy(),
+        m=sys["mass"][sys["ptype"]].astype(np.float64),
+    )
+
+
+def _forces_np(s, st_template, params, geom, cfg):
+    """Evaluate the framework force pass on the transcription's state."""
+    st = scatter_by_tag(
+        st_template,
+        x=s["x"], v=s["v"], vest=s["vest"], rho=s["rho"], rhoI=s["rhoI"],
+        C=s["C"], S=s["S"],
+    )
+    st = dataclasses.replace(
+        st,
+        rho=jnp.where(st.valid, st.rho, 1.0),
+        rhoI=jnp.where(st.valid, st.rhoI, 1.0),
+    )
+    out = compute_forces(st, params, geom, cfg)
+    return gather_particles(out, geom, fields=ACC_FIELDS)
+
+
+def _run_framework(st, params, geom, pair_cfg, integ, nsteps):
+    st = setup_pre_force(st)
+    st = compute_forces(st, params, geom, pair_cfg)
+    for _ in range(nsteps):
+        st = dataclasses.replace(st, step=st.step + 1)
+        st = initial_integrate(st, params, integ)
+        st = compute_forces(st, params, geom, pair_cfg)
+        st = final_integrate(st, params, integ)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# per-particle reference transcriptions
+# ---------------------------------------------------------------------------
+
+
+def _zhang_initial(s, acc, dt):
+    """fix_ssa_tsdpd_bvf_zhang.cpp:104-243 (scalar transcription)."""
+    dtf = 0.5 * dt
+    n = s["x"].shape[0]
+    for i in range(n):
+        dtfm = dtf / s["m"][i]
+        if not s["fixed"][i]:  # :166
+            s["vest"][i] = s["v"][i] + dtfm * acc["f"][i]
+            s["v"][i] = s["vest"][i] - dtfm * acc["ddv"][i]
+            s["x"][i] = s["x"][i] + dt * s["v"][i]
+            if s["solid"][i]:  # :181-187 full-dtv deviatoric step
+                s["S"][i] = s["S"][i] + dt * acc["dS"][i]
+            s["rhoI"][i] = s["rho"][i]
+            s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]
+        else:
+            if not s["solid"][i]:  # :198-222 fixed fluid
+                s["vest"][i] = s["v"][i] + dtfm * acc["f"][i]
+                s["v"][i] = s["vest"][i] - dtfm * acc["ddv"][i]
+                s["x"][i] = s["x"][i] + dt * s["v"][i]
+                s["rhoI"][i] = s["rho"][i]
+                s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]
+            else:  # :224-232 fixed solid: rhoI only
+                s["rhoI"][i] = s["rho"][i]
+        s["C"][i] = np.maximum(s["C"][i] + acc["Q"][i] * dtf, 0.0)  # :236-240
+
+
+def _zhang_final(s, acc, dt, step, freq_filter):
+    """fix_ssa_tsdpd_bvf_zhang.cpp:246-443 (scalar transcription)."""
+    dtf = 0.5 * dt
+    n = s["x"].shape[0]
+    phi_out = np.zeros(n)
+    for i in range(n):
+        dtfm = dtf / s["m"][i]
+        nden = max(acc["num_den"][i], 1e-30)
+        phi = acc["phi"][i] / nden  # :300-303
+        nw = acc["nw"][i] / nden
+        vws = acc["vws"][i] / nden  # :305-311 zhang normalizes vws/aws
+        aws = acc["aws"][i] / nden
+        phi_out[i] = phi
+        if not s["fixed"][i]:
+            s["v"][i] = s["vest"][i] + dtfm * acc["f"][i]  # :318-321
+            if not s["solid"][i] and phi > 0.5:  # :324-345 moving-wall
+                norm = np.sqrt(np.sum(nw * nw))
+                en = -nw / max(norm, 1e-30)
+                vdot = float(np.dot(s["v"][i], en))
+                s["v"][i] = (
+                    2.0 * vws + aws * dt - s["v"][i]
+                    + 2.0 * max(0.0, vdot) * en
+                )
+            # :357-361 Zhang density experiment (sic inverted aux ratio)
+            if step % freq_filter == 0:
+                s["rho"][i] = (
+                    acc["rhoAux2"][i] / min(acc["rhoAux1"][i], 1.0)
+                    + dtf * acc["drho"][i]
+                )
+            else:
+                s["rho"][i] = s["rhoI"][i] + dt * acc["drho"][i]
+        else:
+            if not s["solid"][i]:  # fixed fluid :366-396
+                s["v"][i] = s["vest"][i] + dtfm * acc["f"][i]
+                if phi > 0.5:
+                    norm = np.sqrt(np.sum(nw * nw))
+                    en = -nw / max(norm, 1e-30)
+                    vdot = float(np.dot(s["v"][i], en))
+                    s["v"][i] = -s["v"][i] + 2.0 * max(0.0, vdot) * en
+                s["rho"][i] = s["rhoI"][i] + dt * acc["drho"][i]
+            else:  # fixed solid :398-407
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+                s["rho"][i] = s["rhoI"][i]
+        s["C"][i] = np.maximum(s["C"][i] + acc["Q"][i] * dtf, 0.0)
+    return phi_out
+
+
+def _bvf_initial(s, acc, dt):
+    """fix_ssa_tsdpd_bvf.cpp:145-213 (scalar transcription)."""
+    dtf = 0.5 * dt
+    n = s["x"].shape[0]
+    for i in range(n):
+        dtfm = dtf / s["m"][i]
+        if not s["fixed"][i]:  # :145-170
+            s["vest"][i] = s["v"][i] + 2.0 * dtfm * acc["f"][i]
+            s["v"][i] = s["v"][i] + dtfm * acc["f"][i]
+            s["x"][i] = s["x"][i] + dtf * s["v"][i]
+            if s["solid"][i]:
+                s["S"][i] = s["S"][i] + 0.5 * dt * acc["dS"][i]
+        else:
+            if not s["solid"][i]:  # fixed fluid still integrates :174-191
+                s["vest"][i] = s["v"][i] + 2.0 * dtfm * acc["f"][i]
+                s["v"][i] = s["v"][i] + dtfm * acc["f"][i]
+                s["x"][i] = s["x"][i] + dtf * s["v"][i]
+            else:  # fixed solid :193-199
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+        s["C"][i] = np.maximum(s["C"][i] + acc["Q"][i] * dtf, 0.0)  # :204-207
+        s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]  # :213
+
+
+def _bvf_final(s, acc, dt):
+    """fix_ssa_tsdpd_bvf.cpp:255-358 (scalar transcription).
+
+    NOTE: phi/nw/vws/aws enter UNNORMALIZED (no number_density division
+    anywhere in this fix), unlike the tv family and zhang.
+    """
+    dtf = 0.5 * dt
+    n = s["x"].shape[0]
+    for i in range(n):
+        dtfm = dtf / s["m"][i]
+        phi = acc["phi"][i]
+        nw = acc["nw"][i]
+        if not s["fixed"][i]:
+            s["v"][i] = s["v"][i] + dtfm * acc["f"][i]  # :266-269
+            if not s["solid"][i]:
+                if phi > 0.5:  # :273-293 moving-wall, unnormalized vws/aws
+                    norm = np.sqrt(np.sum(nw * nw))
+                    en = -nw / max(norm, 1e-30)
+                    vdot = float(np.dot(s["v"][i], en))
+                    s["v"][i] = (
+                        2.0 * acc["vws"][i] + acc["aws"][i] * dt - s["v"][i]
+                        + 2.0 * max(0.0, vdot) * en
+                    )
+            else:  # :296-302
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+        else:
+            if not s["solid"][i]:  # fixed fluid :309-336
+                s["v"][i] = s["v"][i] + dtfm * acc["f"][i]
+                s["x"][i] = s["x"][i] + dtf * s["v"][i]
+                if phi > 0.5:
+                    norm = np.sqrt(np.sum(nw * nw))
+                    en = -nw / max(norm, 1e-30)
+                    vdot = float(np.dot(s["v"][i], en))
+                    s["v"][i] = -s["v"][i] + 2.0 * max(0.0, vdot) * en
+            else:  # :339-345
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+        s["C"][i] = np.maximum(s["C"][i] + acc["Q"][i] * dtf, 0.0)
+        s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]  # :358
+
+
+def _stationary_step(s, acc, dt):
+    """fix_ssa_tsdpd_stationary.cpp:74-133: both halves advance rho and C
+    only; x, v, vest, S never move."""
+    dtf = 0.5 * dt
+    for _half in range(2):
+        s["rho"] = s["rho"] + dtf * acc["drho"]
+        s["C"] = np.maximum(s["C"] + acc["Q"][..., None] * 0, s["C"] * 0) \
+            if False else np.maximum(s["C"] + acc["Q"] * dtf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the comparison driver
+# ---------------------------------------------------------------------------
+
+
+def _compare_variant(variant, initial_np, final_np, nsteps=4, dt=1e-3,
+                     freq_filter=2, check_gate=True):
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    st0 = dataclasses.replace(st0, dt=jnp.asarray(dt, jnp.float64))
+    pair_cfg = PairConfig.transport_velocity(dim=2, weighted_solid=True)
+    integ = getattr(IntegratorConfig, variant)(
+        **({"freq_filter": freq_filter} if variant == "zhang" else {})
+    )
+    assert integ.variant == variant
+
+    # framework path
+    st = _run_framework(st0, params, geom, pair_cfg, integ, nsteps)
+    got = gather_particles(st, geom, fields=DYN_FIELDS + ("phi",))
+
+    # transcription path (shares the framework's force pass)
+    s = _np_state(sys)
+    s["vest"] = s["v"].copy()  # setup_pre_force
+    s["rhoI"] = s["rho"].copy()
+    acc = _forces_np(s, st0, params, geom, pair_cfg)
+    gate_seen = False
+    phi_np = None
+    for k in range(1, nsteps + 1):
+        initial_np(s, acc, dt)
+        acc = _forces_np(s, st0, params, geom, pair_cfg)
+        nden = np.maximum(acc["num_den"], 1e-30)
+        gate_seen |= bool(
+            np.any((acc["phi"] / nden > 0.5) & ~s["solid"] & ~s["fixed"])
+        )
+        phi_np = final_np(s, acc, dt, k, freq_filter) if variant == "zhang" \
+            else final_np(s, acc, dt)
+
+    if check_gate:
+        assert gate_seen, "no fluid particle crossed phi > 0.5 — gate untested"
+        assert np.abs(s["v"][s["solid"] & ~s["fixed"]]).max() > 0, \
+            "free solids stopped moving — vws/aws terms untested"
+
+    for name in DYN_FIELDS:
+        a, b = got[name], s[name]
+        if name in ("x", "v", "vest"):
+            b = b if b.shape == a.shape else b
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-9, atol=1e-11 * scale, err_msg=f"{variant}:{name}"
+        )
+    if variant == "zhang" and phi_np is not None:
+        np.testing.assert_allclose(got["phi"], phi_np, rtol=1e-9,
+                                   atol=1e-12, err_msg="zhang:phi")
+
+
+def test_zhang_matches_reference_transcription():
+    _compare_variant("zhang", _zhang_initial, _zhang_final)
+
+
+def test_bvf_matches_reference_transcription():
+    _compare_variant("bvf", _bvf_initial, _bvf_final)
+
+
+def test_zhang_differs_from_transport_velocity():
+    """The round-1 alias bug: zhang must NOT equal the tv integrator."""
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    st0 = dataclasses.replace(st0, dt=jnp.asarray(1e-3, jnp.float64))
+    pair_cfg = PairConfig.transport_velocity(dim=2, weighted_solid=True)
+    a = _run_framework(st0, params, geom, pair_cfg,
+                       IntegratorConfig.zhang(), 3)
+    b = _run_framework(st0, params, geom, pair_cfg,
+                       IntegratorConfig.transport_velocity(), 3)
+    ga = gather_particles(a, geom, fields=("v",))["v"]
+    gb = gather_particles(b, geom, fields=("v",))["v"]
+    assert np.abs(ga - gb).max() > 1e-8
+
+
+def test_stationary_freezes_kinematics():
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    dt = 1e-3
+    st0 = dataclasses.replace(st0, dt=jnp.asarray(dt, jnp.float64))
+    pair_cfg = PairConfig.transport_velocity(dim=2, weighted_solid=True)
+    # snapshot AFTER setup_pre_force (vest=v, rhoI=rho is the framework-wide
+    # setup, not a stationary-integrator effect)
+    before = gather_particles(setup_pre_force(st0), geom, fields=DYN_FIELDS)
+    st = _run_framework(st0, params, geom, pair_cfg,
+                        IntegratorConfig.stationary(), 3)
+    got = gather_particles(st, geom, fields=DYN_FIELDS)
+    for frozen in ("x", "v", "vest", "S"):
+        np.testing.assert_array_equal(got[frozen], before[frozen],
+                                      err_msg=frozen)
+
+    # rho/C advance exactly per the transcription (two dtf halves per step)
+    s = _np_state(sys)
+    s["vest"] = s["v"].copy()
+    s["rhoI"] = s["rho"].copy()
+    acc = _forces_np(s, st0, params, geom, pair_cfg)
+    for _ in range(3):
+        dtf = 0.5 * dt
+        # initial_integrate (:74-100)
+        s["rho"] = s["rho"] + dtf * acc["drho"]
+        s["C"] = np.maximum(s["C"] + acc["Q"] * dtf, 0.0)
+        acc = _forces_np(s, st0, params, geom, pair_cfg)
+        # final_integrate (:105-133)
+        s["rho"] = s["rho"] + dtf * acc["drho"]
+        s["C"] = np.maximum(s["C"] + acc["Q"] * dtf, 0.0)
+    np.testing.assert_allclose(got["rho"], s["rho"], rtol=1e-9)
+    np.testing.assert_allclose(got["C"], s["C"], rtol=1e-9, atol=1e-14)
+
+
+def test_dt_adaptive_changes_dt_inside_chunk():
+    """fix dt/adaptive: dt = clamp(CFL dx/max|v|, tmin, tmax) recomputed
+    every step (fix_dt_adaptive.cpp:118-163) and carried in the state so it
+    changes INSIDE a jitted chunk."""
+    from sph_bvf_tpu.core.fixes import DtAdaptive
+    from sph_bvf_tpu.core.state import GROUP_ALL
+    from sph_bvf_tpu.core.stepper import ModelSpec, run_chunk, setup
+
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    fix = DtAdaptive(groupbit=GROUP_ALL, cfl=0.1, dx_ave=0.02,
+                     tmin=1e-6, tmax=1e-2)
+    spec = ModelSpec(
+        geom=geom,
+        pair=PairConfig.transport_velocity(dim=2, weighted_solid=True),
+        integ=IntegratorConfig.transport_velocity(),
+        fixes=(fix,),
+        rebin_every=4,
+    )
+    dt0 = 1e-3
+    st = setup(st0, params, spec, dt=dt0)
+    st = run_chunk(st, params, spec, 4)
+    dt_after = float(st.dt)
+    assert dt_after != dt0, "dt never adapted"
+
+    # the carried dt must equal the CFL formula applied to the final v
+    out = gather_particles(st, geom, fields=("v",))
+    vmax = np.sqrt((out["v"] ** 2).sum(axis=1)).max()
+    expect = np.clip(fix.cfl * fix.dx_ave / max(vmax, 1e-30),
+                     fix.tmin, fix.tmax)
+    np.testing.assert_allclose(dt_after, expect, rtol=1e-6)
+
+    # and the adapting run must actually diverge from a fixed-dt run
+    spec_fixed = dataclasses.replace(spec, fixes=())
+    st_fixed = setup(st0, params, spec_fixed, dt=dt0)
+    st_fixed = run_chunk(st_fixed, params, spec_fixed, 4)
+    xa = gather_particles(st, geom, fields=("x",))["x"]
+    xb = gather_particles(st_fixed, geom, fields=("x",))["x"]
+    assert np.abs(xa - xb).max() > 0
