@@ -15,10 +15,23 @@ pair kernel (ops/pair_pallas.py) uses, with the same 3-consecutive-block
 halo trick.  Per target cell the kernel walks the 3^dim*cap candidates in
 old-flat-slot order (slot-major, then flat cell offset ascending — exactly
 the jnp path's stable (cell, old flat index) sort order, so both paths
-produce IDENTICAL slot assignments) and compacts matches into output slots
-with a running per-lane counter and a select crossbar.  No sort, no
-scatter, no [M] relayouts; traffic is ~4x the state size (3x halo read +
-1x write).
+produce IDENTICAL slot assignments on non-periodic grids) and compacts
+matches into output slots with a running per-lane counter and a select
+crossbar.  No sort, no scatter, no [M] relayouts; traffic is ~4x the state
+size (3x halo read + 1x write).
+
+Boundary handling mirrors the pair kernel (core/halo.py): periodic x is a
+wrapped halo (or a ring ppermute under shard_map), periodic inner axes are
+ghost columns, walls are zero halos.  A particle crossing a periodic face
+has already been position-wrapped (wrap_pbc), so its computed target cell
+is on the far side — which is exactly where its halo/ghost copy sits
+within one stencil step of the target.  On periodic grids the wrapped
+candidates enter the crossbar at halo/ghost offsets, so slot ORDER within
+a cell can differ from the jnp sort (cell contents are identical; physics
+is slot-order independent).  Under shard_map the match key is the GLOBAL
+cell id, so a particle leaving a shard is dropped there and picked up by
+the neighbor from its halo — particle migration (comm_brick.cpp:585) falls
+out of the same exchange.
 
 A particle that moves MORE than one cell ring between rebins (drift
 contract already violated, counted by ``state.drift_violation``) is lost
@@ -26,10 +39,11 @@ by this kernel rather than moved; the caller accounts every loss into
 ``state.overflow`` via an n_valid_before - n_valid_after reduction, so the
 "lost atoms" invariant (host asserts overflow == 0) still holds.
 
-Eligibility mirrors the pair kernel: f32 state, no periodic axis with more
-than one cell (a wrap jumps across the whole flat axis, breaking the
-3-block locality), TPU backend.  The jnp path remains the fallback and the
-executable spec.
+Eligibility mirrors the pair kernel: f32 state, VMEM-bounded halo blocks,
+TPU backend; periodic axes additionally need >= 3 cells (with 2 cells the
+same source cell appears twice in a target's stencil window — once real,
+once wrapped — and the crossbar would place the particle twice).  The jnp
+path remains the fallback and the executable spec.
 """
 
 from __future__ import annotations
@@ -40,13 +54,26 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sph_bvf_tpu.core import halo as halo_mod
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def rebin_pallas_eligible(dtype, geom) -> bool:
+def _halo_block(geom, block_2d: int = 768, block_3d: int = 128) -> int:
+    """The lane-block size the halo kernels would use for this grid."""
+    return max(block_2d if geom.dim < 3 else block_3d,
+               _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
+
+
+def rebin_pallas_eligible(dtype, geom, n_rows: int = 64) -> bool:
+    """``n_rows``: total packed f32+i32 rows the move would stage (the
+    caller counts them from the live field dict; the default is the
+    speciesless state's row count)."""
     if dtype != jnp.float32:
         return False
     if geom.dim >= 3:
@@ -59,13 +86,197 @@ def rebin_pallas_eligible(dtype, geom) -> bool:
     # between NC=1.3k and 4.8k on v5e; 3.7x ahead by NC=113k)
     if geom.ncells_total < 3000:
         return False
-    if any(p and n > 1 for p, n in zip(geom.periodic, geom.ncells)):
+    # a periodic axis with 2 cells puts the same source cell in a target's
+    # window twice (real + wrapped) -> the crossbar would duplicate
+    if any(p and 1 < n < 3 for p, n in zip(geom.periodic, geom.ncells)):
+        return False
+    # the six [F, cap, BLK] halo blocks + two outputs are double-buffered in
+    # VMEM; BLK scales with the x-stride (ny*nz), so tall/deep grids can
+    # exceed the 100MB vmem budget — route those to the jnp sort path
+    # instead of failing at compile (8 specs x 2 buffers x 4 bytes)
+    blk = _halo_block(geom)
+    vmem = 2 * (4 * n_rows) * geom.cap * blk * 4
+    if vmem > 90 * 1024 * 1024:
         return False
     try:
         platform = jax.devices()[0].platform
     except Exception:
         return False
     return platform in ("tpu", "axon")
+
+
+def _pack_fields(fields: Dict[str, jax.Array], cap: int, NC: int):
+    """Split the field dict into one f32 and one i32 matrix (+ metadata)."""
+    fmeta, imeta = [], []  # (name, nrows, lead_shape, dtype)
+    fmats, imats = [], []
+    imats.append(fields["valid"].astype(jnp.int32).reshape(1, cap, NC))
+    for name, a in fields.items():
+        if name == "valid" or a.size == 0:
+            continue
+        r = a.reshape(-1, cap, NC)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            fmeta.append((name, r.shape[0], a.shape[:-2], a.dtype))
+            fmats.append(r)
+        else:
+            imeta.append((name, r.shape[0], a.shape[:-2], a.dtype))
+            imats.append(r.astype(jnp.int32))
+    return jnp.concatenate(fmats, axis=0), jnp.concatenate(imats, axis=0), fmeta, imeta
+
+
+def _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC):
+    new_fields = {"valid": outi[0] != 0}
+    r = 0
+    for name, nrows, lead, dtype in fmeta:
+        new_fields[name] = outf[r : r + nrows].reshape(lead + (cap, NC))
+        r += nrows
+    r = 1
+    for name, nrows, lead, dtype in imeta:
+        new_fields[name] = (
+            outi[r : r + nrows].astype(dtype).reshape(lead + (cap, NC))
+        )
+        r += nrows
+    for name, a in fields.items():
+        if name not in new_fields:  # size-0 species arrays pass through
+            new_fields[name] = a
+    return new_fields
+
+
+def _move_call(
+    PFp: jax.Array,
+    PIp: jax.Array,
+    geom,
+    xr: int,
+    NC_lanes: int,
+    BLK: int,
+    g_base,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """The raw kernel over pre-assembled padded buffers.
+
+    ``g_base``: i32 [1] array added to the local lane index to form the
+    global (ghosted) cell id the candidates' positions are matched against
+    — 0 on a single device, ``axis_index * NC_loc`` under shard_map.  It is
+    threaded as a scalar-prefetch operand because it is a traced value the
+    kernel cannot close over.  Sharded callers must split on x-aligned
+    slabs (``NC_loc`` a multiple of the x stride) so the in-kernel cy/cz
+    decomposition of the global id stays exact.
+    """
+    import numpy as np
+
+    cap = geom.cap
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    sgx, sgy, sgz = halo_mod.ghosted_strides(geom)
+    ga = halo_mod.ghost_axes(geom)
+    NC_pad = _round_up(NC_lanes, BLK)
+    grid = NC_pad // BLK
+    Ff, Fi = PFp.shape[0], PIp.shape[0]
+
+    # candidate order: flat cell offset ascending (with slot-major outer
+    # loop this reproduces the jnp path's stable (cell, old flat) sort on
+    # non-periodic grids)
+    offs = sorted(
+        (off[0] * sgx + off[1] * sgy + off[2] * sgz, off)
+        for off in geom.stencil_offsets()
+    )
+
+    lo = tuple(float(v) for v in geom.lo)
+    # pre-round to f32 so the in-kernel multiply matches cell_index_of,
+    # where the f64 python constant is rounded at trace time
+    inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
+
+    def kernel(gb_ref, fl, fm, fr, il, im, ir, outf_ref, outi_ref):
+        b = pl.program_id(0)
+        buf_f = jnp.concatenate([fl[:], fm[:], fr[:]], axis=-1)
+        buf_i = jnp.concatenate([il[:], im[:], ir[:]], axis=-1)
+
+        g = gb_ref[0] + b * BLK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, BLK), 1
+        )
+        cz = g % ngz
+        cy = (g // sgy) % ngy
+
+        accF = jnp.zeros((Ff, cap, BLK), jnp.float32)
+        accI = jnp.zeros((Fi, cap, BLK), jnp.int32)
+        cnt = jnp.zeros((1, BLK), jnp.int32)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+
+        for s_old in range(cap):
+            for off_flat, off in offs:
+                sl = slice(BLK + off_flat, 2 * BLK + off_flat)
+                vj = buf_i[0:1, s_old, sl] != 0  # [1, BLK]
+                # inner-axis bounds only; x is governed by halo content
+                for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
+                    if o != 0:
+                        vj = vj & (c + o >= 0) & (c + o < n)
+                # candidate's new GLOBAL ghosted flat cell from its wrapped
+                # position (periodic axes use mod like cell_index_of; ghost
+                # axes shift by +1 into ghost numbering)
+                ncell = jnp.zeros((1, BLK), jnp.int32)
+                for ax, (s, n) in enumerate(
+                    ((sgx, geom.ncells[0]), (sgy, geom.ncells[1]),
+                     (sgz, geom.ncells[2]))
+                ):
+                    if n == 1:
+                        continue
+                    xa = buf_f[xr + ax : xr + ax + 1, s_old, sl]
+                    ci = jnp.floor((xa - lo[ax]) * inv[ax]).astype(jnp.int32)
+                    if geom.periodic[ax]:
+                        ci = jnp.remainder(ci, n)
+                    else:
+                        ci = jnp.clip(ci, 0, n - 1)
+                    if ax in ga:
+                        ci = ci + 1
+                    ncell = ncell + ci * s
+                match = vj & (ncell == g)  # [1, BLK]
+                sel = match & (cnt == iota_s)  # [cap, BLK]
+                accF = jnp.where(
+                    sel[None], buf_f[:, s_old, sl][:, None, :], accF
+                )
+                accI = jnp.where(
+                    sel[None], buf_i[:, s_old, sl][:, None, :], accI
+                )
+                cnt = cnt + match.astype(jnp.int32)
+
+        outf_ref[...] = accF
+        outi_ref[...] = accI
+
+    spec = lambda F, shift: pl.BlockSpec(
+        (F, cap, BLK), lambda b, *_: (0, 0, b + shift),
+        memory_space=pltpu.VMEM,
+    )
+    gb = jnp.asarray(g_base, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[spec(Ff, 0), spec(Ff, 1), spec(Ff, 2),
+                      spec(Fi, 0), spec(Fi, 1), spec(Fi, 2)],
+            out_specs=[
+                pl.BlockSpec((Ff, cap, BLK), lambda b, *_: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Fi, cap, BLK), lambda b, *_: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Ff, cap, NC_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Fi, cap, NC_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(gb, PFp, PFp, PFp, PIp, PIp, PIp)
+
+
+def _x_row(fmeta) -> int:
+    xr = 0
+    for name, nrows, _, _ in fmeta:
+        if name == "x":
+            return xr
+        xr += nrows
+    raise KeyError("x")
 
 
 def move_pallas(
@@ -84,139 +295,86 @@ def move_pallas(
         # unrolled lowering compileable.
         block = 768 if geom.dim < 3 else 128
     NC, cap = geom.ncells_total, geom.cap
-    nx, ny, nz = geom.ncells
-    sx, sy, sz = geom.strides
-
-    # candidate order: flat cell offset ascending (with slot-major outer
-    # loop this reproduces the jnp path's stable (cell, old flat) sort)
-    offs = sorted(
-        (off[0] * sx + off[1] * sy + off[2] * sz, off)
-        for off in geom.stencil_offsets()
-    )
-    max_off = max(abs(o) for o, _ in offs)
+    max_off = halo_mod.max_flat_offset(geom)
     BLK = max(block, _round_up(max_off + 1, 128))
-    NC_pad = _round_up(NC, BLK)
-    grid = NC_pad // BLK
 
-    # -- pack: floats -> PF [Ff, cap, NC], ints(+valid first) -> PI ---------
-    fmeta, imeta = [], []  # (name, nrows, lead_shape, dtype)
-    fmats, imats = [], []
-    imats.append(fields["valid"].astype(jnp.int32).reshape(1, cap, NC))
-    for name, a in fields.items():
-        if name == "valid" or a.size == 0:
-            continue
-        r = a.reshape(-1, cap, NC)
-        if jnp.issubdtype(a.dtype, jnp.floating):
-            fmeta.append((name, r.shape[0], a.shape[:-2], a.dtype))
-            fmats.append(r)
-        else:
-            imeta.append((name, r.shape[0], a.shape[:-2], a.dtype))
-            imats.append(r.astype(jnp.int32))
-    PF = jnp.concatenate(fmats, axis=0)
-    PI = jnp.concatenate(imats, axis=0)
-    Ff, Fi = PF.shape[0], PI.shape[0]
-    pad = ((0, 0), (0, 0), (BLK, BLK + NC_pad - NC))
-    PF = jnp.pad(PF, pad)
-    PI = jnp.pad(PI, pad)
+    PF, PI, fmeta, imeta = _pack_fields(fields, cap, NC)
+    PFg = halo_mod.add_ghosts(PF, geom)
+    PIg = halo_mod.add_ghosts(PI, geom)
+    NCg = PFg.shape[-1]
+    NC_pad = _round_up(NCg, BLK)
+    wrap = halo_mod.wrap_x(geom)
+    PFp = halo_mod.assemble_padded(PFg, BLK, NC_pad, wrap, max_off)
+    PIp = halo_mod.assemble_padded(PIg, BLK, NC_pad, wrap, max_off)
 
-    xr = 0
-    for name, nrows, _, _ in fmeta:
-        if name == "x":
-            break
-        xr += nrows
-
-    import numpy as np
-
-    lo = tuple(float(v) for v in geom.lo)
-    # pre-round to f32 so the in-kernel multiply matches cell_index_of,
-    # where the f64 python constant is rounded at trace time
-    inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
-
-    def kernel(fl, fm, fr, il, im, ir, outf_ref, outi_ref):
-        b = pl.program_id(0)
-        buf_f = jnp.concatenate([fl[:], fm[:], fr[:]], axis=-1)
-        buf_i = jnp.concatenate([il[:], im[:], ir[:]], axis=-1)
-
-        g = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        cz = g % nz
-        cy = (g // sy) % ny
-        cx = g // sx
-
-        accF = jnp.zeros((Ff, cap, BLK), jnp.float32)
-        accI = jnp.zeros((Fi, cap, BLK), jnp.int32)
-        cnt = jnp.zeros((1, BLK), jnp.int32)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
-
-        for s_old in range(cap):
-            for off_flat, off in offs:
-                sl = slice(BLK + off_flat, 2 * BLK + off_flat)
-                vj = buf_i[0:1, s_old, sl] != 0  # [1, BLK]
-                for o, c, n in (
-                    (off[0], cx, nx), (off[1], cy, ny), (off[2], cz, nz)
-                ):
-                    if o != 0:
-                        vj = vj & (c + o >= 0) & (c + o < n)
-                # candidate's new flat cell from its wrapped position
-                ncell = jnp.zeros((1, BLK), jnp.int32)
-                for ax, (s, n) in enumerate(
-                    ((sx, nx), (sy, ny), (sz, nz))
-                ):
-                    if n == 1:
-                        continue
-                    xa = buf_f[xr + ax : xr + ax + 1, s_old, sl]
-                    ci = jnp.floor((xa - lo[ax]) * inv[ax]).astype(jnp.int32)
-                    ncell = ncell + jnp.clip(ci, 0, n - 1) * s
-                match = vj & (ncell == g)  # [1, BLK]
-                sel = match & (cnt == iota_s)  # [cap, BLK]
-                accF = jnp.where(
-                    sel[None], buf_f[:, s_old, sl][:, None, :], accF
-                )
-                accI = jnp.where(
-                    sel[None], buf_i[:, s_old, sl][:, None, :], accI
-                )
-                cnt = cnt + match.astype(jnp.int32)
-
-        outf_ref[...] = accF
-        outi_ref[...] = accI
-
-    spec = lambda F, shift: pl.BlockSpec(
-        (F, cap, BLK), lambda b: (0, 0, b + shift), memory_space=pltpu.VMEM
+    outf, outi = _move_call(
+        PFp, PIp, geom, _x_row(fmeta), NCg, BLK, 0, interpret
     )
-    outf, outi = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[spec(Ff, 0), spec(Ff, 1), spec(Ff, 2),
-                  spec(Fi, 0), spec(Fi, 1), spec(Fi, 2)],
-        out_specs=[
-            pl.BlockSpec((Ff, cap, BLK), lambda b: (0, 0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Fi, cap, BLK), lambda b: (0, 0, b),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Ff, cap, NC_pad), jnp.float32),
-            jax.ShapeDtypeStruct((Fi, cap, NC_pad), jnp.int32),
-        ],
-        interpret=interpret,
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(PF, PF, PF, PI, PI, PI)
+    outf = halo_mod.trim_ghosts(outf[:, :, :NCg], geom)
+    outi = halo_mod.trim_ghosts(outi[:, :, :NCg], geom)
+    return _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC)
 
-    outf = outf[:, :, :NC]
-    outi = outi[:, :, :NC]
-    new_fields = {"valid": outi[0] != 0}
-    r = 0
-    for name, nrows, lead, dtype in fmeta:
-        new_fields[name] = outf[r : r + nrows].reshape(lead + (cap, NC))
-        r += nrows
-    r = 1
-    for name, nrows, lead, dtype in imeta:
-        new_fields[name] = (
-            outi[r : r + nrows].astype(dtype).reshape(lead + (cap, NC))
+
+def move_pallas_sharded(
+    fields: Dict[str, jax.Array],
+    geom,
+    mesh,
+    axis: str = "x",
+    block: int = 0,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """The rebin move with per-device kernels under shard_map.
+
+    Same halo exchange as ops/pair_pallas.pass_a_sharded; because the match
+    key is the global cell id, a particle whose new cell lies in the
+    neighboring shard is written there (from the neighbor's halo copy) and
+    dropped locally — the migration step of the reference's exchange
+    (comm_brick.cpp:585) with no extra communication.
+    """
+    if block <= 0:
+        block = 768 if geom.dim < 3 else 128
+    NC, cap = geom.ncells_total, geom.cap
+    n_shards = mesh.shape[axis]
+    max_off = halo_mod.max_flat_offset(geom)
+    BLK = max(block, _round_up(max_off + 1, 128))
+
+    if geom.ncells[0] % n_shards:
+        raise ValueError(
+            f"nx={geom.ncells[0]} does not split into x-aligned slabs over "
+            f"{n_shards} shards (use Scene.ncx_multiple_of)"
         )
-        r += nrows
-    for name, a in fields.items():
-        if name not in new_fields:  # size-0 species arrays pass through
-            new_fields[name] = a
-    return new_fields
+    PF, PI, fmeta, imeta = _pack_fields(fields, cap, NC)
+    PFg = halo_mod.add_ghosts(PF, geom)
+    PIg = halo_mod.add_ghosts(PI, geom)
+    NCg = PFg.shape[-1]
+    NC_loc = NCg // n_shards
+    NC_pad = _round_up(NC_loc, BLK)
+    xr = _x_row(fmeta)
+    wrap = halo_mod.wrap_x(geom)
+
+    def local(PFl, PIl):
+        idx = jax.lax.axis_index(axis)
+        fhl, fhr = halo_mod.exchange_slabs(PFl, max_off, axis, n_shards, wrap)
+        ihl, ihr = halo_mod.exchange_slabs(PIl, max_off, axis, n_shards, wrap)
+        PFp = halo_mod.assemble_padded(
+            PFl, BLK, NC_pad, wrap=False, max_off=max_off,
+            halo_left=fhl, halo_right=fhr,
+        )
+        PIp = halo_mod.assemble_padded(
+            PIl, BLK, NC_pad, wrap=False, max_off=max_off,
+            halo_left=ihl, halo_right=ihr,
+        )
+        outf, outi = _move_call(
+            PFp, PIp, geom, xr, NC_loc, BLK, idx * NC_loc, interpret
+        )
+        return outf[:, :, :NC_loc], outi[:, :, :NC_loc]
+
+    outf, outi = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis)),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
+    )(PFg, PIg)
+    outf = halo_mod.trim_ghosts(outf, geom)
+    outi = halo_mod.trim_ghosts(outi, geom)
+    return _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC)

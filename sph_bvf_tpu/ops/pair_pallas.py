@@ -14,6 +14,13 @@ Design:
     window because the maximum flat-cell offset (strides summed) is < BLK.
     This expresses an overlapping halo with ordinary BlockSpecs — no manual
     DMA — at the cost of re-reading PF 3x (a few MB; negligible).
+  * Boundary conditions live ENTIRELY in the halo/ghost content built by
+    core/halo.py: zero halos for walls, wrapped copies for periodic x,
+    ppermute'd neighbor slabs for a sharded x axis, and ghost columns for
+    periodic inner axes.  The kernel never tests the x coordinate — an
+    out-of-domain x neighbor is simply an invalid (zero) lane.  Wrapped /
+    ghost copies keep their unwrapped coordinates; the physics applies the
+    minimum-image shift (ops/pair._pair_delta), exactly like the jnp path.
   * The reference physics itself is the SAME code as the jnp path
     (`_pass_a_offset` in ops/pair.py) — inside a Mosaic kernel jnp ops
     lower to VPU vector ops directly.  Only the per-type-pair coefficient
@@ -21,27 +28,33 @@ Design:
     read with an unrolled select chain over the (tiny) type-pair space.
   * Stencil neighbor access is a static lane slice of the staged block —
     the in-kernel equivalent of `shift_cells`, with the per-axis bounds
-    masks applied to the J validity row.
+    masks applied to the J validity row (inner axes only; see above).
   * Accumulators live in registers/VMEM for the whole block and are written
     once to the packed output matrix [A, cap, NC].
 
+Multi-chip: `pass_a_sharded` runs the same kernel per device under
+`shard_map`, with the halo lanes exchanged via `lax.ppermute` — the TPU
+analog of the reference's brick ghost exchange (comm_brick.cpp:460-880).
+Shards must be x-aligned slabs (nx divisible by the mesh size): the
+in-kernel cy/cz decomposition of the lane index assumes every shard starts
+on an x-column boundary.
+
 Eligibility (falls back to the jnp path otherwise): f32 state, no thermal
-noise, no SSA species, no periodic axes with more than one cell (a periodic
-wrap along a multi-cell axis needs lanes outside the 3-block halo), and a
-TPU backend.
+noise, no SSA species, VMEM-bounded halo blocks, and a TPU backend.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
+from sph_bvf_tpu.core import halo as halo_mod
 from sph_bvf_tpu.core.state import Geometry, Params, State
 
 
@@ -54,12 +67,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kernel_block(geom, block: int = 0) -> int:
+    """Lane-block size: user block or the size-aware default, raised to
+    cover the ghosted stencil reach."""
+    if block <= 0:
+        if geom.dim >= 3:
+            block = 128
+        else:
+            block = 768 if geom.ncells_total >= 50_000 else 256
+    return max(block, _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
+
+
 def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
     if state.x.dtype != jnp.float32:
         return False
     if cfg.thermal or params.n_ssa > 0:
         return False
-    if any(p and n > 1 for p, n in zip(geom.periodic, geom.ncells)):
+    # the 3 staged [F, cap, BLK] halo blocks + [A, cap, BLK] output are
+    # double-buffered in VMEM; BLK scales with the x-stride (ny*nz), so
+    # tall/deep grids must fall back to the jnp path instead of failing at
+    # the 100MB vmem limit (see rebin_pallas_eligible for the same bound)
+    F = sum(n for _, n in _field_layout(params, cfg))
+    A = sum(n for _, n in _acc_layout(params, cfg))
+    blk = _kernel_block(geom)
+    if 2 * (3 * F + A) * geom.cap * blk * 4 > 90 * 1024 * 1024:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -152,42 +183,32 @@ def _select_table_rows(ti, tj, table_ref, T: int, nsp: int):
     return jnp.stack(comps, axis=0)
 
 
-def pass_a_pallas(
-    pf: Dict[str, jax.Array],
+def _call_padded(
+    PFp: jax.Array,
+    occ: jax.Array | None,
     params: Params,
     geom: Geometry,
     cfg,
-    block: int = 0,
-    interpret: bool = False,
-    rowloop: bool | None = None,
-) -> Dict[str, jax.Array]:
-    """Run pass A as one Pallas kernel; returns the accumulator dict.
+    NC_lanes: int,
+    BLK: int,
+    interpret: bool,
+    rowloop: bool,
+) -> jax.Array:
+    """Run the kernel over a pre-assembled padded buffer.
 
-    Default block: 256 lanes in 2D — 768 is ~2% faster at 1M particles but
-    20% slower at 11k (few coarse blocks pipeline poorly and pad more), so
-    the large size only kicks in on big grids; 128 in 3D, where per-op vreg
-    counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
-    lowering past a 30-minute compile.
+    ``PFp``: [F, cap, NC_pad + 2*BLK] with halo/ghost content already in
+    place (core/halo.py).  ``occ``: per-lane occupancy [NC_lanes] (valid
+    counts) for the i-slot gating, or None to disable gating.  Returns the
+    raw packed accumulators [A, cap, NC_pad]; the caller trims.
     """
-    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset
-
-    if block <= 0:
-        if geom.dim >= 3:
-            block = 128
-        else:
-            block = 768 if geom.ncells_total >= 50_000 else 256
-
-    NC, cap = geom.ncells_total, geom.cap
+    cap = geom.cap
     T = params.ntypes
-    nx, ny, nz = geom.ncells
-    sx, sy, sz = geom.strides
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    sgx, sgy, sgz = halo_mod.ghosted_strides(geom)
     offsets = geom.stencil_offsets()
-    max_off = sum(
-        s for s, n in zip(geom.strides, geom.ncells) if n > 1
-    )
-    BLK = max(block, _round_up(max_off + 1, 128))
-    NC_pad = _round_up(NC, BLK)
+    NC_pad = _round_up(NC_lanes, BLK)
     grid = NC_pad // BLK
+    assert PFp.shape[-1] == NC_pad + 2 * BLK, (PFp.shape, NC_pad, BLK)
 
     fl = _field_layout(params, cfg)
     al = _acc_layout(params, cfg)
@@ -196,11 +217,15 @@ def pass_a_pallas(
     F = sum(n for _, n in fl)
     A = sum(n for _, n in al)
 
-    PF = _pack(pf, fl, cap, NC)
-    # pad: one full block on each side (halo), plus NC -> NC_pad on the right
-    PF = jnp.pad(PF, ((0, 0), (0, 0), (BLK, BLK + NC_pad - NC)))
+    # minimum-image shifts for periodic axes (static); the halo/ghost copies
+    # keep unwrapped coordinates, exactly like the jnp path's rolled views
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
 
-    from sph_bvf_tpu.ops.pair import coeff_tables
+    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset, coeff_tables
 
     tab_dict = coeff_tables(params, cfg)
     tab_names = sorted(tab_dict)
@@ -227,13 +252,6 @@ def pass_a_pallas(
                 out[name] = a
         return out
 
-    # i-slot gating: rebin rank-compacts slots, so slot rows >= the lattice
-    # base occupancy are populated only where the flow has crowded cells.
-    # Rows [0, split) always run vectorized; rows in [split, cap) run in at
-    # most 4 groups, each under a per-block max-occupancy gate (scalar
-    # prefetch).  The group count is bounded because every (group, offset)
-    # pair inlines the full physics once — per-row gating in 3D (cap 49,
-    # base 27 -> 22 rows x 27 offsets) blew compile time past 30 minutes.
     # i-slot strategy.  Rebin rank-compacts slots, so slot rows >= the
     # lattice base occupancy are populated only where the flow has crowded
     # cells.  Two kernel shapes:
@@ -246,8 +264,6 @@ def pass_a_pallas(
     #     occupancy as the trip count — work scales with actual occupancy
     #     and Mosaic compiles 27 offsets x [1, cap, BLK] in minutes where
     #     the unrolled form took >40.
-    if rowloop is None:
-        rowloop = geom.dim >= 3
     split = geom.base_occ if 0 < geom.base_occ < cap else cap
     n_gated = cap - split
     gsize = -(-n_gated // 4) if n_gated else 1
@@ -256,7 +272,9 @@ def pass_a_pallas(
         if rowloop
         else [(s, min(s + gsize, cap)) for s in range(split, cap, gsize)]
     )
-    need_occmax = rowloop or bool(gated_groups)
+    need_occmax = (rowloop or bool(gated_groups)) and occ is not None
+    if rowloop and occ is None:
+        raise ValueError("rowloop kernel needs the occupancy vector")
 
     def kernel(*refs):
         if need_occmax:
@@ -268,9 +286,8 @@ def pass_a_pallas(
         buf = jnp.concatenate([left_ref[:], mid_ref[:], right_ref[:]], axis=-1)
 
         g = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        cz = g % nz
-        cy = (g // sy) % ny
-        cx = g // sx
+        cz = g % ngz
+        cy = (g // sgy) % ngy
 
         def acc_for_ibuf(ibuf, not_diag):
             """Accumulators for the staged i-rows over all offsets.
@@ -298,13 +315,18 @@ def pass_a_pallas(
                 acc[name] = jnp.zeros(shape, jnp.float32)
 
             for off in offsets:
-                off_flat = off[0] * sx + off[1] * sy + off[2] * sz
+                off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
                 lo = BLK + off_flat
                 Jf = unpack(buf, lo, lo + BLK)
+                # inner-axis bounds: a y/z step of +-1 from a row edge lands
+                # on the adjacent column's far edge in flat order — mask it.
+                # Ghost columns widen ngy/ngz, so periodic wraps stay
+                # in-bounds and read correct (ghost) content.  The x axis
+                # needs no mask: its out-of-range lanes are the halo, whose
+                # content (zeros / wrap / neighbor shard) IS the boundary
+                # condition.
                 inb = jnp.ones((1, 1, BLK), bool)
-                for o, c, n in (
-                    (off[0], cx, nx), (off[1], cy, ny), (off[2], cz, nz)
-                ):
+                for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
                     if o != 0:
                         inb = inb & (c + o >= 0) & (c + o < n)
                 Jf["valid"] = (Jf["valid"] != 0.0) & inb
@@ -323,7 +345,7 @@ def pass_a_pallas(
 
                 notself = not_diag if off == (0, 0, 0) else True
                 acc = _pass_a_offset(
-                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc
+                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc, pbc=pbc
                 )
             return acc
 
@@ -361,8 +383,14 @@ def pass_a_pallas(
         for s0, s1 in gated_groups:
             out_ref[:, s0:s1, :] = jnp.zeros((A, s1 - s0, BLK), jnp.float32)
 
-            @pl.when(occmax_ref[b] > s0)
-            def _(s0=s0, s1=s1):
+            if need_occmax:
+                @pl.when(occmax_ref[b] > s0)
+                def _(s0=s0, s1=s1):
+                    acc = acc_for_ibuf(
+                        mid_ref[:, s0:s1, :], static_not_diag(s0, s1 - s0)
+                    )
+                    write_rows(acc, s0, s1 - s0)
+            else:
                 acc = acc_for_ibuf(
                     mid_ref[:, s0:s1, :], static_not_diag(s0, s1 - s0)
                 )
@@ -396,10 +424,9 @@ def pass_a_pallas(
     )
     if need_occmax:
         # per-block max occupancy (slots are rank-compacted at rebin)
-        occ = jnp.sum(pf["valid"].astype(jnp.int32), axis=0)  # [NC]
-        occ = jnp.pad(occ, (0, NC_pad - NC))
-        occmax = jnp.max(occ.reshape(grid, BLK), axis=1)
-        out = pl.pallas_call(
+        occp = jnp.pad(occ, (0, NC_pad - NC_lanes))
+        occmax = jnp.max(occp.reshape(grid, BLK), axis=1)
+        return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -409,18 +436,20 @@ def pass_a_pallas(
             ),
             out_shape=out_shape,
             **kwargs,
-        )(occmax, tables, kap, PF, PF, PF)
-    else:
-        out = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            **kwargs,
-        )(tables, kap, PF, PF, PF)
+        )(occmax, tables, kap, PFp, PFp, PFp)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        **kwargs,
+    )(tables, kap, PFp, PFp, PFp)
 
-    out = out[:, :, :NC]
+
+def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
+    al = _acc_layout(params, cfg)
+    arow = _row_ranges(al)
     result = {}
     for name, nrows in al:
         r0, r1 = arow[name]
@@ -431,3 +460,122 @@ def pass_a_pallas(
             a = a[0]
         result[name] = a
     return result
+
+
+def _occ_from_packed(PFg: jax.Array) -> jax.Array:
+    """Occupancy per lane from the (ghosted) packed matrix's valid row."""
+    return jnp.sum((PFg[0] != 0.0).astype(jnp.int32), axis=0)
+
+
+def pass_a_pallas(
+    pf: Dict[str, jax.Array],
+    params: Params,
+    geom: Geometry,
+    cfg,
+    block: int = 0,
+    interpret: bool = False,
+    rowloop: bool | None = None,
+) -> Dict[str, jax.Array]:
+    """Run pass A as one Pallas kernel; returns the accumulator dict.
+
+    Default block: 256 lanes in 2D — 768 is ~2% faster at 1M particles but
+    20% slower at 11k (few coarse blocks pipeline poorly and pad more), so
+    the large size only kicks in on big grids; 128 in 3D, where per-op vreg
+    counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
+    lowering past a 30-minute compile.
+    """
+    if rowloop is None:
+        rowloop = geom.dim >= 3
+    NC, cap = geom.ncells_total, geom.cap
+    BLK = _kernel_block(geom, block)
+    max_off = halo_mod.max_flat_offset(geom)
+
+    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    PFg = halo_mod.add_ghosts(PF, geom)
+    NCg = PFg.shape[-1]
+    NC_pad = _round_up(NCg, BLK)
+    PFp = halo_mod.assemble_padded(
+        PFg, BLK, NC_pad, halo_mod.wrap_x(geom), max_off
+    )
+    out = _call_padded(
+        PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
+        interpret, rowloop,
+    )
+    out = halo_mod.trim_ghosts(out[:, :, :NCg], geom)
+    return _unpack_accs(out, params, cfg, cap, NC)
+
+
+def sharded_eligible(geom: Geometry, n_shards: int) -> bool:
+    """Extra constraints for the shard_map kernel path: x-aligned slabs
+    (the in-kernel cy/cz decomposition of the lane index assumes each
+    shard starts on an x-column boundary; use Scene.ncx_multiple_of) wider
+    than the stencil reach (the halo exchange only covers nearest-neighbor
+    shards)."""
+    if geom.ncells[0] % n_shards:
+        return False
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    NCg = ngx * ngy * ngz
+    return NCg // n_shards > halo_mod.max_flat_offset(geom)
+
+
+def pass_a_sharded(
+    pf: Dict[str, jax.Array],
+    params: Params,
+    geom: Geometry,
+    cfg,
+    mesh,
+    axis: str = "x",
+    block: int = 0,
+    interpret: bool = False,
+    rowloop: bool | None = None,
+) -> Dict[str, jax.Array]:
+    """Pass A with per-device Pallas kernels under shard_map.
+
+    The packed field matrix is split along the flat cell axis; each device
+    exchanges ``max_off``-wide edge slabs with its mesh neighbors via
+    ``lax.ppermute`` (ring-wrapped when x is periodic) and runs the same
+    kernel as the single-device path on its local lanes plus halo.  This is
+    the fast-path analog of the reference's forward ghost exchange
+    (comm_brick.cpp:460); there is no reverse exchange because pair sums
+    are full-neighbor (newton off).
+    """
+    if rowloop is None:
+        rowloop = geom.dim >= 3
+    NC, cap = geom.ncells_total, geom.cap
+    n_shards = mesh.shape[axis]
+    max_off = halo_mod.max_flat_offset(geom)
+
+    if geom.ncells[0] % n_shards:
+        raise ValueError(
+            f"nx={geom.ncells[0]} does not split into x-aligned slabs over "
+            f"{n_shards} shards (use Scene.ncx_multiple_of)"
+        )
+    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    PFg = halo_mod.add_ghosts(PF, geom)
+    NCg = PFg.shape[-1]
+    NC_loc = NCg // n_shards
+    BLK = _kernel_block(geom, block)
+    NC_pad = _round_up(NC_loc, BLK)
+
+    def local(PFl):
+        hl, hr = halo_mod.exchange_slabs(
+            PFl, max_off, axis, n_shards, halo_mod.wrap_x(geom)
+        )
+        PFp = halo_mod.assemble_padded(
+            PFl, BLK, NC_pad, wrap=False, max_off=max_off,
+            halo_left=hl, halo_right=hr,
+        )
+        out = _call_padded(
+            PFp, _occ_from_packed(PFl), params, geom, cfg, NC_loc, BLK,
+            interpret, rowloop,
+        )
+        return out[:, :, :NC_loc]
+
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, None, axis),
+        out_specs=P(None, None, axis),
+    )(PFg)
+    out = halo_mod.trim_ghosts(out, geom)
+    return _unpack_accs(out, params, cfg, cap, NC)

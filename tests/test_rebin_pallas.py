@@ -25,7 +25,7 @@ def _force_interpret(monkeypatch):
     setup()'s jitted rebin compile the interpreted kernel graph, which
     takes minutes on CPU.
     """
-    monkeypatch.setattr(rp, "rebin_pallas_eligible", lambda dtype, geom: True)
+    monkeypatch.setattr(rp, "rebin_pallas_eligible", lambda *a, **k: True)
     monkeypatch.setattr(
         rp, "move_pallas", functools.partial(rp.move_pallas, interpret=True)
     )
