@@ -70,10 +70,11 @@ def _halo_block(geom, block_2d: int = 768, block_3d: int = 128) -> int:
                _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
 
 
-def rebin_pallas_eligible(dtype, geom, n_rows: int = 64) -> bool:
-    """``n_rows``: total packed f32+i32 rows the move would stage (the
-    caller counts them from the live field dict; the default is the
-    speciesless state's row count)."""
+def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
+    """Platform-independent eligibility (shared by the single-device and
+    shard_map paths).  ``n_rows``: total packed f32+i32 rows the move would
+    stage (the caller counts them from the live field dict; the default is
+    the speciesless state's row count)."""
     if dtype != jnp.float32:
         return False
     if geom.dim >= 3:
@@ -98,11 +99,13 @@ def rebin_pallas_eligible(dtype, geom, n_rows: int = 64) -> bool:
     vmem = 2 * (4 * n_rows) * geom.cap * blk * 4
     if vmem > 90 * 1024 * 1024:
         return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon")
+    return True
+
+
+def rebin_pallas_eligible(dtype, geom, n_rows: int = 64) -> bool:
+    from sph_bvf_tpu.ops.pair_pallas import on_tpu
+
+    return rebin_kernel_supported(dtype, geom, n_rows) and on_tpu()
 
 
 def _pack_fields(fields: Dict[str, jax.Array], cap: int, NC: int):
@@ -348,6 +351,12 @@ def move_pallas_sharded(
     PIg = halo_mod.add_ghosts(PI, geom)
     NCg = PFg.shape[-1]
     NC_loc = NCg // n_shards
+    if NC_loc <= max_off:
+        raise ValueError(
+            f"local slab of {NC_loc} lanes is narrower than the stencil "
+            f"reach {max_off} — the nearest-neighbor halo exchange cannot "
+            f"cover it; use fewer shards or a larger grid"
+        )
     NC_pad = _round_up(NC_loc, BLK)
     xr = _x_row(fmeta)
     wrap = halo_mod.wrap_x(geom)
@@ -374,6 +383,8 @@ def move_pallas_sharded(
         mesh=mesh,
         in_specs=(P(None, None, axis), P(None, None, axis)),
         out_specs=(P(None, None, axis), P(None, None, axis)),
+        # the kernel's ShapeDtypeStruct outputs carry no vma annotation
+        check_vma=False,
     )(PFg, PIg)
     outf = halo_mod.trim_ghosts(outf, geom)
     outi = halo_mod.trim_ghosts(outi, geom)

@@ -431,7 +431,8 @@ def _flat_slots(a):
 
 
 def rebin(
-    state: State, geom: Geometry, drop: tuple = (), use_pallas: bool = True
+    state: State, geom: Geometry, drop: tuple = (), use_pallas: bool = True,
+    mesh=None, mesh_axis: str = "x",
 ) -> State:
     """Re-scatter every particle into the cell slot owned by its position.
 
@@ -485,16 +486,33 @@ def rebin(
 
     from sph_bvf_tpu.core.rebin_pallas import (
         move_pallas,
+        move_pallas_sharded,
+        rebin_kernel_supported,
         rebin_pallas_eligible,
     )
+    from sph_bvf_tpu.ops.pair_pallas import on_tpu, sharded_eligible
 
     n_rows = sum(
         int(np.prod(a.shape[:-2], dtype=np.int64)) or 1
         for a in fields.values()
     )
-    if use_pallas and rebin_pallas_eligible(state.x.dtype, geom, n_rows):
+    n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    use_sharded = (
+        use_pallas
+        and n_shards > 1
+        and rebin_kernel_supported(state.x.dtype, geom, n_rows)
+        and sharded_eligible(geom, n_shards)
+    )
+    if use_sharded or (
+        use_pallas and rebin_pallas_eligible(state.x.dtype, geom, n_rows)
+    ):
         n_before = jnp.sum(fields["valid"].astype(jnp.int32))
-        new_fields = move_pallas(fields, geom)
+        if use_sharded:
+            new_fields = move_pallas_sharded(
+                fields, geom, mesh, mesh_axis, interpret=not on_tpu()
+            )
+        else:
+            new_fields = move_pallas(fields, geom)
         # every particle not re-placed (cell over capacity, or a
         # drift-contract violation that left the one-cell ring) is a loss
         lost = n_before - jnp.sum(new_fields["valid"].astype(jnp.int32))
@@ -692,7 +710,9 @@ def gather_particles(state: State, geom: Geometry, fields=("x", "v", "rho")):
     out = {"tag": tags[order]}
     for name in fields:
         a = np.asarray(getattr(state, name))
-        a = a.reshape(a.shape[:-2] + (-1,))  # lead + (M,)
+        # explicit M: -1 cannot be inferred when a leading dim is 0
+        # (size-0 species arrays)
+        a = a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
         a = np.moveaxis(a, -1, 0)[valid]  # [n, comps...]
         out[name] = a[order]
     return out

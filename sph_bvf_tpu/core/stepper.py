@@ -48,7 +48,16 @@ from sph_bvf_tpu.ops.pair import PairConfig, compute_forces
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
-    """Static description of a simulation (hashable; closed over jit)."""
+    """Static description of a simulation (hashable; closed over jit).
+
+    ``mesh``: optional jax.sharding.Mesh for multi-device runs.  When set
+    (and the mesh axis has more than one device), pass A and the rebin move
+    run as per-device Pallas kernels under shard_map with ppermute halo
+    exchange (ops/pair_pallas.pass_a_sharded, rebin_pallas.move_pallas_sharded)
+    — the fast-path analog of the reference's brick ghost exchange; the
+    remaining stages shard via GSPMD.  A Mesh is hashable, so the spec stays
+    a valid static jit argument.
+    """
 
     geom: Geometry
     pair: PairConfig
@@ -56,6 +65,8 @@ class ModelSpec:
     fixes: Tuple[Any, ...] = ()
     ssa: Optional[Any] = None  # SsaConfig (core/ssa.py), if stochastic species
     rebin_every: int = 10
+    mesh: Optional[Any] = None  # jax.sharding.Mesh
+    mesh_axis: str = "x"
 
 
 def step(state: State, params: Params, spec: ModelSpec) -> State:
@@ -63,7 +74,9 @@ def step(state: State, params: Params, spec: ModelSpec) -> State:
     state = dataclasses.replace(state, step=state.step + 1)
     state = initial_integrate(state, params, spec.integ)
     state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_INTEGRATE)
-    state = compute_forces(state, params, spec.geom, spec.pair)
+    state = compute_forces(
+        state, params, spec.geom, spec.pair, spec.mesh, spec.mesh_axis
+    )
     state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_FORCE)
     state = final_integrate(state, params, spec.integ)
     if spec.ssa is not None:
@@ -80,9 +93,12 @@ def _rebin_drop(spec: ModelSpec) -> tuple:
 
 @partial(jax.jit, static_argnames=("spec",))
 def _setup_jit(state: State, params: Params, spec: ModelSpec) -> State:
-    state = rebin(state, spec.geom, drop=_rebin_drop(spec))
+    state = rebin(state, spec.geom, drop=_rebin_drop(spec),
+                  mesh=spec.mesh, mesh_axis=spec.mesh_axis)
     state = setup_pre_force(state)
-    state = compute_forces(state, params, spec.geom, spec.pair)
+    state = compute_forces(
+        state, params, spec.geom, spec.pair, spec.mesh, spec.mesh_axis
+    )
     # Modify::setup invokes post_force-style hooks (e.g. buoyancy/setforce
     # seed the step-0 forces, fix_ssa_tsdpd_buoyancy.cpp:97-99).
     state = fixes_mod.apply_stage(state, params, spec.fixes, fixes_mod.POST_FORCE)
@@ -98,7 +114,8 @@ def setup(state: State, params: Params, spec: ModelSpec, dt: float) -> State:
 @partial(jax.jit, static_argnames=("spec", "n"))
 def run_chunk(state: State, params: Params, spec: ModelSpec, n: int) -> State:
     """rebin + n steps, fused into one compiled program."""
-    state = rebin(state, spec.geom, drop=_rebin_drop(spec))
+    state = rebin(state, spec.geom, drop=_rebin_drop(spec),
+                  mesh=spec.mesh, mesh_axis=spec.mesh_axis)
 
     def body(s, _):
         return step(s, params, spec), None

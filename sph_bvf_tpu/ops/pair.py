@@ -708,12 +708,19 @@ _PASS_B_J_FIELDS = "valid x vest ptype solid fluid fixed V2 fom".split()
 
 
 def compute_forces(
-    state: State, params: Params, geom: Geometry, cfg: PairConfig
+    state: State, params: Params, geom: Geometry, cfg: PairConfig,
+    mesh=None, mesh_axis: str = "x",
 ) -> State:
     """Full force evaluation; returns the state with all accumulators replaced.
 
     Equivalent of `PairSsaTsdpd*::compute` plus the preceding `force_clear`
     (atom_vec_ssa_tsdpd_atomic.cpp:391-424, verlet.cpp:370).
+
+    With ``mesh`` (and more than one device on ``mesh_axis``), pass A runs
+    as per-device Pallas kernels under shard_map with ppermute halo
+    exchange (ops/pair_pallas.pass_a_sharded) — compiled on TPU, interpret
+    mode elsewhere (the virtual-CPU dryrun).  Pass B and the jnp fallback
+    shard via GSPMD as before.
     """
     NC, cap = geom.ncells_total, geom.cap
     f32 = state.x.dtype
@@ -751,9 +758,29 @@ def compute_forces(
         Qd=jnp.zeros((params.n_ssa, cap, NC), jnp.int32),
     )
 
-    from sph_bvf_tpu.ops.pair_pallas import pallas_eligible, pass_a_pallas
+    from sph_bvf_tpu.ops.pair_pallas import (
+        kernel_supported,
+        on_tpu,
+        pallas_eligible,
+        pass_a_pallas,
+        pass_a_sharded,
+        sharded_eligible,
+    )
 
-    if cfg.use_pallas and pallas_eligible(state, params, geom, cfg):
+    n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    if (
+        n_shards > 1
+        and cfg.use_pallas
+        and kernel_supported(state, params, geom, cfg)
+        and sharded_eligible(geom, n_shards)
+    ):
+        acc.update(
+            pass_a_sharded(
+                pf, params, geom, cfg, mesh, mesh_axis,
+                interpret=not on_tpu(),
+            )
+        )
+    elif cfg.use_pallas and pallas_eligible(state, params, geom, cfg):
         acc.update(pass_a_pallas(pf, params, geom, cfg))
     else:
         ja_fields = _pass_a_j_fields(params, cfg)

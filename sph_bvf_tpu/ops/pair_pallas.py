@@ -78,7 +78,9 @@ def _kernel_block(geom, block: int = 0) -> int:
     return max(block, _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
 
 
-def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
+def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
+    """Platform-independent kernel eligibility (shared by the single-device
+    and shard_map paths; the latter runs in interpret mode off-TPU)."""
     if state.x.dtype != jnp.float32:
         return False
     if cfg.thermal or params.n_ssa > 0:
@@ -92,11 +94,18 @@ def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
     blk = _kernel_block(geom)
     if 2 * (3 * F + A) * geom.cap * blk * 4 > 90 * 1024 * 1024:
         return False
+    return True
+
+
+def on_tpu() -> bool:
     try:
-        platform = jax.devices()[0].platform
+        return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
-    return platform in ("tpu", "axon")
+
+
+def pallas_eligible(state: State, params: Params, geom: Geometry, cfg) -> bool:
+    return kernel_supported(state, params, geom, cfg) and on_tpu()
 
 
 def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
@@ -325,7 +334,11 @@ def _call_padded(
                 # needs no mask: its out-of-range lanes are the halo, whose
                 # content (zeros / wrap / neighbor shard) IS the boundary
                 # condition.
-                inb = jnp.ones((1, 1, BLK), bool)
+                # inb is [1, BLK] so the combined J validity stays [cj, BLK]
+                # — a leading broadcast dim here would silently grow the
+                # accumulators (acc[x] += [.., 1, ci, W] duplicates instead
+                # of adding; caught by the elastic dS reshape)
+                inb = jnp.ones((1, BLK), bool)
                 for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
                     if o != 0:
                         inb = inb & (c + o >= 0) & (c + o < n)
@@ -554,6 +567,12 @@ def pass_a_sharded(
     PFg = halo_mod.add_ghosts(PF, geom)
     NCg = PFg.shape[-1]
     NC_loc = NCg // n_shards
+    if NC_loc <= max_off:
+        raise ValueError(
+            f"local slab of {NC_loc} lanes is narrower than the stencil "
+            f"reach {max_off} — the nearest-neighbor halo exchange cannot "
+            f"cover it; use fewer shards or a larger grid"
+        )
     BLK = _kernel_block(geom, block)
     NC_pad = _round_up(NC_loc, BLK)
 
@@ -576,6 +595,8 @@ def pass_a_sharded(
         mesh=mesh,
         in_specs=P(None, None, axis),
         out_specs=P(None, None, axis),
+        # the kernel's ShapeDtypeStruct outputs carry no vma annotation
+        check_vma=False,
     )(PFg)
     out = halo_mod.trim_ghosts(out, geom)
     return _unpack_accs(out, params, cfg, cap, NC)

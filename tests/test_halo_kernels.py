@@ -1,0 +1,248 @@
+"""Periodic and sharded Pallas kernel paths vs the jnp reference path.
+
+Round-1 gap: the fast kernels rejected periodic axes outright, so the fsi
+channel (periodic x, fsi.lmp:31 "boundary p f p") and cell polarization
+(fully periodic, cell_polarization.lmp:28) could never use them, and a
+sharded run silently fell back to the ~6x-slower jnp path.  These tests
+drive the halo/ghost machinery (core/halo.py) in interpret mode on the
+virtual CPU mesh:
+
+* periodic x      -> wrapped-copy halos (fsi geometry)
+* fully periodic  -> ghost columns on y + wrapped x (cell polarization)
+* sharded         -> shard_map + ppermute edge-slab exchange, both walls
+                     and periodic, including cross-shard rebin migration
+
+The jnp path stays the executable spec.  Pair accumulators must agree to
+f32 rounding; rebin must place the same particles in the same cells (slot
+order within a cell may differ on periodic grids — comparison is by tag
+via gather_particles, which is slot-order insensitive).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sph_bvf_tpu.core.rebin_pallas as rp
+import sph_bvf_tpu.core.state as S
+from sph_bvf_tpu.core.state import gather_particles
+from sph_bvf_tpu.core.stepper import setup
+from sph_bvf_tpu.models import cell_polarization, fsi, lid_cavity
+from sph_bvf_tpu.ops.pair import _per_particle, compute_forces
+from sph_bvf_tpu.ops.pair_pallas import (
+    _acc_layout,
+    pass_a_pallas,
+    pass_a_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def fsi_state():
+    """Periodic-x channel (boundary p f p) — wrapped-halo path."""
+    state, params, spec, _ = fsi.build(nx=12, rebin_every=5,
+                                       ncx_multiple_of=8)
+    state = setup(state, params, spec, dt=1e-8)
+    return state, params, spec
+
+
+@pytest.fixture(scope="module")
+def polar_state():
+    """Fully periodic box (boundary p p p) — ghost-column + wrap path."""
+    state, params, spec, _ = cell_polarization.build(nx=24, rebin_every=5,
+                                                     ncx_multiple_of=8)
+    state = setup(state, params, spec, dt=1e-10)
+    return state, params, spec
+
+
+def _assert_accs_match(state, params, geom, cfg, acc, tol=5e-6):
+    ref = compute_forces(
+        state, params, geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            # the driver post-masks these to 1 on invalid slots
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= tol * scale, (name, err, scale)
+
+
+def test_pass_a_periodic_x(fsi_state):
+    state, params, spec = fsi_state
+    geom, cfg = spec.geom, spec.pair
+    assert geom.periodic[0] and geom.ncells[0] > 1
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, geom, cfg, block=128, interpret=True)
+    _assert_accs_match(state, params, geom, cfg, acc)
+
+
+def test_pass_a_fully_periodic(polar_state):
+    state, params, spec = polar_state
+    geom, cfg = spec.geom, spec.pair
+    assert geom.periodic[1] and geom.ncells[1] > 1  # ghost-column path
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, geom, cfg, block=128, interpret=True)
+    _assert_accs_match(state, params, geom, cfg, acc)
+
+
+@pytest.fixture(scope="module")
+def fsi_state24():
+    """Larger periodic-x channel: local shard slabs must exceed the stencil
+    reach, which the nx=12 grid (5 lanes/shard) cannot."""
+    state, params, spec, _ = fsi.build(nx=24, rebin_every=5,
+                                       ncx_multiple_of=8)
+    state = setup(state, params, spec, dt=1e-8)
+    return state, params, spec
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("case", ["walls", "periodic"])
+def test_pass_a_sharded_matches(case, fsi_state24):
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    if case == "walls":
+        state, params, spec, _ = lid_cavity.build(
+            N=48, Re=100.0, dt=1e-4, ncx_multiple_of=8
+        )
+        state = setup(state, params, spec, dt=1e-4)
+    else:
+        state, params, spec = fsi_state24
+    geom, cfg = spec.geom, spec.pair
+    mesh = make_mesh(8)
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_sharded(
+        pf, params, geom, cfg, mesh, block=128, interpret=True
+    )
+    _assert_accs_match(state, params, geom, cfg, acc)
+
+
+# ---------------------------------------------------------------------------
+# rebin under periodic boundaries / sharding
+# ---------------------------------------------------------------------------
+
+
+_REBIN_FIELDS = ("x", "v", "vest", "rho", "rhoI", "S", "C", "ptype",
+                 "solid_tag", "fixed_tag")
+
+
+def _drift(state, geom, seed=0):
+    """Shift every particle by ~0.9 of the drift budget so the edge columns
+    cross the periodic faces (the drift contract still holds: excess from
+    the old cell bounds stays below the budget)."""
+    rng = np.random.default_rng(seed)
+    d = 0.9 * geom.drift_budget
+    assert d > 0
+    shift = [d, 0.0, 0.0]
+    if geom.periodic[1] and geom.ncells[1] > 1:
+        shift[1] = -d
+    jitter = jnp.asarray(
+        rng.uniform(-0.05 * d, 0.05 * d, size=state.x.shape), state.x.dtype
+    )
+    x = state.x + jnp.asarray(shift, state.x.dtype)[:, None, None] + jitter
+    return dataclasses.replace(state, x=jnp.where(state.valid, x, state.x))
+
+
+def _canon(state, geom):
+    return gather_particles(state, geom, fields=_REBIN_FIELDS)
+
+
+def _compare_rebin(state, geom, monkeypatch, sharded_mesh=None):
+    ref = S.rebin(state, geom, use_pallas=False)
+    assert int(ref.overflow) == 0
+
+    monkeypatch.setattr(rp, "rebin_pallas_eligible", lambda *a, **k: True)
+    if sharded_mesh is not None:
+        monkeypatch.setattr(
+            rp, "move_pallas",
+            lambda fields, geom, **kw: rp.move_pallas_sharded(
+                fields, geom, sharded_mesh, interpret=True
+            ),
+        )
+    else:
+        monkeypatch.setattr(
+            rp, "move_pallas",
+            functools.partial(rp.move_pallas, interpret=True),
+        )
+    got = S.rebin(state, geom, use_pallas=True)
+    assert int(got.overflow) == 0
+
+    a, b = _canon(ref, geom), _canon(got, geom)
+    np.testing.assert_array_equal(a["tag"], b["tag"])
+    for name in _REBIN_FIELDS:
+        np.testing.assert_array_equal(a[name], b[name], err_msg=name)
+    # and the slot assignment is cell-consistent: every particle sits in the
+    # cell its (wrapped) position maps to
+    cell = np.asarray(S.cell_index_of(S.wrap_pbc(got.x, geom), geom))
+    owner = np.broadcast_to(
+        np.arange(geom.ncells_total), (geom.cap, geom.ncells_total)
+    )
+    valid = np.asarray(got.valid)
+    np.testing.assert_array_equal(cell[valid], owner[valid])
+
+
+def test_rebin_periodic_x(fsi_state, monkeypatch):
+    state, params, spec = fsi_state
+    state = _drift(state, spec.geom)
+    _compare_rebin(state, spec.geom, monkeypatch)
+
+
+def test_rebin_fully_periodic(polar_state, monkeypatch):
+    state, params, spec = polar_state
+    state = _drift(state, spec.geom)
+    _compare_rebin(state, spec.geom, monkeypatch)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("case", ["walls", "periodic"])
+def test_rebin_sharded_migration(case, monkeypatch, fsi_state24):
+    """Cross-shard particle migration: the drift pushes edge-column
+    particles over shard boundaries (and periodic faces), where only the
+    ppermute'd halo can place them."""
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    if case == "walls":
+        state, params, spec, _ = lid_cavity.build(
+            N=48, Re=100.0, dt=1e-4, ncx_multiple_of=8
+        )
+        state = setup(state, params, spec, dt=1e-4)
+    else:
+        state, params, spec = fsi_state24
+    state = _drift(state, spec.geom)
+    _compare_rebin(state, spec.geom, monkeypatch,
+                   sharded_mesh=make_mesh(8))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_run_chunk_sharded_kernel_path(fsi_state24):
+    """Integrated: run_chunk with spec.mesh routes pass A through the
+    shard_map kernels (solids + elastic + periodic x) and must match the
+    unsharded jnp run to f32 rounding."""
+    import dataclasses as dc
+
+    from sph_bvf_tpu.core.stepper import run_chunk
+    from sph_bvf_tpu.parallel.mesh import make_mesh, replicate, shard_state
+
+    state, params, spec = fsi_state24
+    ref = run_chunk(state, params, spec, 2)
+
+    mesh = make_mesh(8)
+    spec_sh = dc.replace(spec, mesh=mesh)
+    sh = shard_state(state, mesh)
+    pr = replicate(params, mesh)
+    use_mesh = getattr(jax.sharding, "use_mesh", None) or jax.sharding.set_mesh
+    with use_mesh(mesh):
+        out = run_chunk(sh, pr, spec_sh, 2)
+
+    assert int(out.overflow) == 0
+    a = gather_particles(ref, spec.geom, fields=("x", "v", "rho", "S"))
+    b = gather_particles(out, spec.geom, fields=("x", "v", "rho", "S"))
+    np.testing.assert_array_equal(a["tag"], b["tag"])
+    for name in ("x", "v", "rho", "S"):
+        np.testing.assert_allclose(
+            a[name], b[name], rtol=2e-5, atol=1e-8, err_msg=name
+        )
