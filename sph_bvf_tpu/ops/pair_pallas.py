@@ -67,6 +67,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _default_rowloop(geom) -> bool:
+    """Pick the i-slot strategy (see _call_padded): the grouped kernel fully
+    unrolls (groups x offsets x physics), which Mosaic only compiles in
+    reasonable time for small caps with a known lattice occupancy; 3D (27
+    offsets), mixed-lattice models (base_occ == 0, e.g. the fsi beam's
+    0.6x-finer lattice pushing cap to ~47), and large caps take the
+    fori_loop-over-rows shape whose compiled size is occupancy-independent."""
+    return geom.dim >= 3 or geom.base_occ == 0 or geom.cap > 24
+
+
 def _kernel_block(geom, block: int = 0) -> int:
     """Lane-block size: user block or the size-aware default, raised to
     cover the ghosted stencil reach."""
@@ -498,7 +508,7 @@ def pass_a_pallas(
     lowering past a 30-minute compile.
     """
     if rowloop is None:
-        rowloop = geom.dim >= 3
+        rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap
     BLK = _kernel_block(geom, block)
     max_off = halo_mod.max_flat_offset(geom)
@@ -553,7 +563,7 @@ def pass_a_sharded(
     are full-neighbor (newton off).
     """
     if rowloop is None:
-        rowloop = geom.dim >= 3
+        rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap
     n_shards = mesh.shape[axis]
     max_off = halo_mod.max_flat_offset(geom)
