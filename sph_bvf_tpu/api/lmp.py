@@ -567,6 +567,11 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
             restart_spec = (every, args[1]) if every > 0 else None
         elif cmd in ("log", "echo", "processors", "suffix", "package"):
             pass  # host/process-level directives with no TPU-build analog
+        elif cmd == "newton":
+            # full-neighbor pair sums are newton-off by construction
+            # (SURVEY L2); "newton on" would halve the reference's pair
+            # work but changes nothing here
+            pass
         elif cmd == "print":
             print("[lmp]", args[0] if args else "")
         else:

@@ -156,6 +156,44 @@ def assemble_padded(
     )
 
 
+def assemble_tiled(
+    M: jax.Array,
+    geom,
+    BLK: int,
+    NYZ_pad: int,
+    wrap: bool,
+    plane_left: jax.Array | None = None,
+    plane_right: jax.Array | None = None,
+) -> jax.Array:
+    """Build the 4D buffer the tiled 3D kernel reads.
+
+    ``M`` is the (ghosted) packed matrix [..., NC].  Output is
+    [..., ngx + 2, NYZ_pad + 2*BLK]: the flat cell axis split into x-planes
+    with one halo plane on each side (zeros for walls, wrapped copies for
+    periodic x, ppermute'd neighbor planes under shard_map) and the
+    per-plane yz lane axis padded by one lane block on each side (always
+    zeros — y/z boundary conditions are ghost columns / masks, never lane
+    wrap).  This keeps every per-block VMEM footprint independent of the
+    grid size, unlike the flat-lane halo whose block must exceed the
+    x-stride (~n^2 in 3D).
+    """
+    NC = M.shape[-1]
+    lead = M.shape[:-1]
+    ngx = geom.ncells[0]
+    NYZ = NC // ngx
+    G = M.reshape(lead + (ngx, NYZ))
+    if plane_left is not None:
+        L, R = plane_left, plane_right
+    elif wrap:
+        L, R = G[..., -1:, :], G[..., :1, :]
+    else:
+        L = jnp.zeros(lead + (1, NYZ), M.dtype)
+        R = L
+    G = jnp.concatenate([L, G, R], axis=-2)
+    pad = [(0, 0)] * (G.ndim - 1) + [(BLK, BLK + NYZ_pad - NYZ)]
+    return jnp.pad(G, pad)
+
+
 def exchange_slabs(
     M: jax.Array, width: int, axis_name: str, n_shards: int, periodic: bool
 ) -> Tuple[jax.Array, jax.Array]:

@@ -101,6 +101,11 @@ def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
     # the 100MB vmem limit (see rebin_pallas_eligible for the same bound)
     F = sum(n for _, n in _field_layout(params, cfg))
     A = sum(n for _, n in _acc_layout(params, cfg))
+    if geom.dim >= 3:
+        # tiled kernel: 9 plane/yz-block refs + output, double-buffered,
+        # plus the 27-offset body's live temporaries (~the same order)
+        blk = _tile_block(geom)
+        return 4 * (9 * F + A) * geom.cap * blk * 4 <= 90 * 1024 * 1024
     blk = _kernel_block(geom)
     if 2 * (3 * F + A) * geom.cap * blk * 4 > 90 * 1024 * 1024:
         return False
@@ -470,6 +475,250 @@ def _call_padded(
     )(tables, kap, PFp, PFp, PFp)
 
 
+def _tile_block(geom) -> int:
+    """yz lane-block for the tiled 3D kernel: must cover one y-step
+    (+-ngz lanes) inside the 3-block window."""
+    ngz = halo_mod.ghosted_ncells(geom)[2]
+    return max(256, _round_up(ngz + 2, 128))
+
+
+def _call_tiled3d(
+    PF4p: jax.Array,
+    occ: jax.Array,
+    params: Params,
+    geom: Geometry,
+    cfg,
+    n_planes: int,
+    BLK: int,
+    interpret: bool,
+) -> jax.Array:
+    """The 3D pass-A kernel on a 2D (x-plane, yz-block) grid.
+
+    The flat-lane halo (``_call_padded``) needs BLK >= the x-stride, which
+    in 3D grows as ~n^2 and overflows VMEM past ~19^3 cells.  Here the flat
+    cell axis is split into x-planes: the x stencil direction becomes a 3x3
+    set of BLOCK REFS over [..., ngx + 2, NYZ_pad + 2*BLK] (one halo plane
+    each side), and y/z remain lane offsets (+-ngz, +-1) inside the
+    3-consecutive-yz-block window.  Per-block VMEM is constant in the grid
+    size.  ``PF4p`` comes from core/halo.assemble_tiled; ``occ`` is the
+    per-(plane, yz-block) max occupancy, [n_planes * n_yb] i32.  Returns
+    [A, cap, n_planes, NYZ_pad].
+    """
+    cap = geom.cap
+    T = params.ntypes
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    offsets = geom.stencil_offsets()
+    NYZ_pad = PF4p.shape[-1] - 2 * BLK
+    n_yb = NYZ_pad // BLK
+
+    fl = _field_layout(params, cfg)
+    al = _acc_layout(params, cfg)
+    frow = _row_ranges(fl)
+    arow = _row_ranges(al)
+    F = sum(n for _, n in fl)
+    A = sum(n for _, n in al)
+
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+
+    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset, coeff_tables
+
+    tab_dict = coeff_tables(params, cfg)
+    tab_names = sorted(tab_dict)
+    tables = jnp.stack(
+        [tab_dict[k] for k in tab_names], axis=0
+    ).astype(jnp.float32)
+    kap = (
+        params.kappa.reshape(T * T, params.n_sdpd).astype(jnp.float32)
+        if params.n_sdpd > 0
+        else jnp.zeros((T * T, 1), jnp.float32)
+    )
+
+    def unpack(buf, lo, hi):
+        out = {}
+        for name, nrows in fl:
+            r0, r1 = frow[name]
+            a = buf[r0:r1, :, lo:hi]
+            if name in ("AS", "S"):
+                out[name] = a.reshape((3, 3) + a.shape[1:])
+            elif nrows == 1:
+                out[name] = a[0]
+            else:
+                out[name] = a
+        return out
+
+    def kernel(*refs):
+        occmax_ref, tab_ref, kap_ref = refs[0], refs[1], refs[2]
+        pf_refs = refs[3:12]  # [dx*3 + dy] for dx, dy in {0,1,2}^2
+        out_ref = refs[12]
+        bx = pl.program_id(0)
+        by = pl.program_id(1)
+
+        # stage the 3 x-planes' 3-yz-block windows in VMEM
+        bufs = [
+            jnp.concatenate(
+                [pf_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)],
+                axis=-1,
+            )
+            for dx in range(3)
+        ]
+
+        l = by * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        cz = l % ngz
+        cy = l // ngz  # within-plane y coordinate (>= ngy on pad lanes)
+
+        def acc_for_ibuf(ibuf, not_diag):
+            ci = ibuf.shape[1]
+            ctr = unpack(ibuf, 0, BLK)
+            Ifields = dict(ctr)
+            Ifields["valid"] = ctr["valid"] != 0.0
+            Ifields["solid"] = ctr["solid"] != 0.0
+            Ifields["fluid"] = ~Ifields["solid"]
+            I = {k: _bc(v, "i") for k, v in Ifields.items()}
+            acc = {}
+            for name, nrows in al:
+                if name in _SCALAR_ACCS:
+                    shape = (ci, BLK)
+                elif name == "dS":
+                    shape = (3, 3, ci, BLK)
+                else:
+                    shape = (nrows, ci, BLK)
+                acc[name] = jnp.zeros(shape, jnp.float32)
+
+            for off in offsets:
+                lo = BLK + off[1] * ngz + off[2]
+                Jf = unpack(bufs[off[0] + 1], lo, lo + BLK)
+                # y/z masks: a +-1 step from a row/column edge lands on the
+                # adjacent row's far lane — mask it (ghost columns keep
+                # periodic wraps in-bounds with correct content).  The x
+                # direction selects a whole plane ref; its boundary
+                # condition is the halo plane's content.
+                inb = jnp.ones((1, BLK), bool)
+                if off[1] != 0:
+                    inb = inb & (cy + off[1] >= 0) & (cy + off[1] < ngy)
+                if off[2] != 0:
+                    inb = inb & (cz + off[2] >= 0) & (cz + off[2] < ngz)
+                Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                Jf["solid"] = Jf["solid"] != 0.0
+                J = {k: _bc(v, "j") for k, v in Jf.items()}
+
+                ti, tj = I["ptype"], J["ptype"]
+                coeffs = {
+                    k: _select_table(ti, tj, tab_ref[i], T)
+                    for i, k in enumerate(tab_names)
+                }
+                if params.n_sdpd > 0:
+                    coeffs["kap"] = _select_table_rows(
+                        ti, tj, kap_ref, T, params.n_sdpd
+                    )
+                notself = not_diag if off == (0, 0, 0) else True
+                acc = _pass_a_offset(
+                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc, pbc=pbc
+                )
+            return acc
+
+        def write_rows(acc, s0, ci):
+            for name, nrows in al:
+                r0, r1 = arow[name]
+                out_ref[r0:r1, 0, pl.dslice(s0, ci), :] = acc[name].reshape(
+                    nrows, ci, BLK
+                )
+
+        out_ref[...] = jnp.zeros((A, 1, cap, BLK), jnp.float32)
+
+        def body(r, carry):
+            nd = ~(r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1))
+            # fresh ref load at the sliced row -> zero-offset layout (see
+            # _call_padded.acc_for_ibuf)
+            acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r, 1), :], nd)
+            write_rows(acc, r, 1)
+            return carry
+
+        jax.lax.fori_loop(0, occmax_ref[bx * n_yb + by], body, 0)
+
+    pf_specs = [
+        pl.BlockSpec(
+            (F, 1, cap, BLK),
+            (lambda dx, dy: lambda bx, by, *_: (0, bx + dx, 0, by + dy))(
+                dx, dy
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for dx in range(3)
+        for dy in range(3)
+    ]
+    in_specs = [
+        pl.BlockSpec(
+            (len(tab_names), T, T), lambda bx, by, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (T * T, kap.shape[1]), lambda bx, by, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + pf_specs
+    out_spec = pl.BlockSpec(
+        (A, 1, cap, BLK), lambda bx, by, *_: (0, bx, 0, by),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (A, n_planes, cap, NYZ_pad), jnp.float32
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_planes, n_yb),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(occ, tables, kap, *([PF4p] * 9))
+
+
+def _pass_a_tiled3d(
+    pf: Dict[str, jax.Array],
+    params: Params,
+    geom: Geometry,
+    cfg,
+    block: int = 0,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Single-device driver for the tiled 3D kernel."""
+    NC, cap = geom.ncells_total, geom.cap
+    BLK = block if block >= _tile_block(geom) else _tile_block(geom)
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    NYZ = ngy * ngz
+    NYZ_pad = _round_up(NYZ, BLK)
+    n_yb = NYZ_pad // BLK
+
+    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    PFg = halo_mod.add_ghosts(PF, geom)
+    PF4p = halo_mod.assemble_tiled(
+        PFg, geom, BLK, NYZ_pad, halo_mod.wrap_x(geom)
+    )
+    # plane axis out of the last two dims (Mosaic block alignment)
+    PF4p = jnp.transpose(PF4p, (0, 2, 1, 3))
+    occ = _occ_from_packed(PFg).reshape(ngx, NYZ)
+    occ = jnp.pad(occ, ((0, 0), (0, NYZ_pad - NYZ)))
+    occmax = jnp.max(occ.reshape(ngx, n_yb, BLK), axis=2).reshape(-1)
+
+    out = _call_tiled3d(
+        PF4p, occmax, params, geom, cfg, ngx, BLK, interpret
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))  # back to [A, cap, planes, lanes]
+    out = out[..., :NYZ].reshape(out.shape[0], cap, ngx * NYZ)
+    out = halo_mod.trim_ghosts(out, geom)
+    return _unpack_accs(out, params, cfg, cap, NC)
+
+
 def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
     al = _acc_layout(params, cfg)
     arow = _row_ranges(al)
@@ -507,6 +756,8 @@ def pass_a_pallas(
     counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
     lowering past a 30-minute compile.
     """
+    if geom.dim >= 3:
+        return _pass_a_tiled3d(pf, params, geom, cfg, block=0, interpret=interpret)
     if rowloop is None:
         rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap

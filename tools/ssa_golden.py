@@ -1,0 +1,192 @@
+"""Statistical SSA golden comparison vs the reference C++ build.
+
+The reference's SSA diffusion is a global sequential Gillespie loop
+(pair_ssa_tsdpd_bvf_transport_velocity.cpp:739-809); ours is a
+counter-based per-pair tau-leap (core/ssa.py, ops/pair.py) — bitwise
+different by design, so the comparison is STATISTICAL: run both
+implementations R times on the same scenario (a fixed-solid crystal with
+one SSA species initialized to a step profile, diffusing under the tv
+integrator which commits the hop counts, fix...transport_velocity.cpp:
+415-418) and require the x-binned mean Cd profiles to agree within the
+combined standard error, and molecule counts to be conserved exactly.
+
+The C++ runs self-seed from srand(clock()) + rand()%100
+(pair...cpp:957-958) — run-to-run CPU-time jitter gives different streams
+(verified by the duplicate check below).  Ours uses per-replica
+counter-based keys (parallel/ensemble or per-run seeds).
+
+Usage: python tools/ssa_golden.py [--runs 8] [--steps 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# scenario constants
+L = 1.0e-3
+NXP = 40  # particles per side
+CD0 = 50  # molecules per left-half particle
+KAPPA_SSA = 5.0e-7
+DT = 1e-5
+RHO0 = 1000.0
+C0 = 0.1
+
+
+def scenario_lmp(steps: int, outdir: str, dump_every: int, pad: int = 0) -> str:
+    delta = L / NXP
+    h = 2.6 * delta
+    mass = RHO0 * L * L / (NXP * NXP)
+    # `pad`: parse-time busywork that shifts clock() so the reference's
+    # srand(clock()) (pair...cpp:957) lands on a different seed per run
+    padding = "\n".join(
+        f"variable junk{k} equal {k}*3+1" for k in range(pad)
+    )
+    return f"""
+dimension          2
+units              si
+atom_style         ssa_tsdpd/atomic 0 1 0
+boundary           f f p
+newton             off
+{padding}
+region             box block 0 {L} 0 {L} {-delta/2} {delta/2} units box
+create_box         1 box
+lattice            sq {delta} origin 0.5 0.5 0.0
+create_atoms       1 region box
+
+mass               1 {mass}
+set                group all ssa_tsdpd/rho {RHO0}
+set                group all ssa_tsdpd/e 0.
+set                group all ssa_tsdpd/solid_tag 1 fixed
+
+region             left block 0 {L/2} 0 {L} {-delta/2} {delta/2} units box
+group              leftg region left
+set                group leftg ssa_tsdpd/Cd 0 {CD0}
+
+pair_style         ssa_tsdpd/bvf/transportVelocity
+pair_coeff         1 1 {RHO0} {C0} 1e-3 {h} {h} 0 {KAPPA_SSA}
+
+fix                integration all ssa_tsdpd/bvf/transportVelocity
+compute            cd all ssa_tsdpd/Cd/atom 0
+dump               dmp all custom {dump_every} {outdir}/ssa_*.txt id x y c_cd
+timestep           {DT}
+run                {steps}
+"""
+
+
+def read_dump(path: str) -> dict:
+    with open(path) as f:
+        lines = f.read().splitlines()
+    n = int(lines[lines.index("ITEM: NUMBER OF ATOMS") + 1])
+    hdr = next(l for l in lines if l.startswith("ITEM: ATOMS"))
+    cols = hdr.split()[2:]
+    start = lines.index(hdr) + 1
+    data = np.loadtxt(lines[start : start + n])
+    return {c: data[:, k] for k, c in enumerate(cols)}
+
+
+def run_cpp(lmp_bin: str, steps: int, pad: int) -> dict:
+    outdir = tempfile.mkdtemp(prefix="ssa_cpp_")
+    script = os.path.join(outdir, "ssa.lmp")
+    open(script, "w").write(scenario_lmp(steps, outdir, steps, pad=pad))
+    subprocess.run(
+        [lmp_bin, "-in", script, "-log", os.path.join(outdir, "log.lammps")],
+        check=True, cwd=outdir, capture_output=True,
+    )
+    dumps = sorted(glob.glob(os.path.join(outdir, "ssa_*.txt")),
+                   key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+    return read_dump(dumps[-1])
+
+
+def run_ours(steps: int, seed: int) -> dict:
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sph_bvf_tpu.api.lmp import parse_script
+    from sph_bvf_tpu.core.state import gather_particles
+    from sph_bvf_tpu.core.stepper import setup, simulate
+
+    text = scenario_lmp(steps, "/tmp", steps)
+    # the dump line only serves the C++ side; we gather fields directly
+    text = "\n".join(
+        l for l in text.splitlines() if not l.startswith("dump")
+    )
+    model = parse_script(text)
+    state, params, spec = model.build()
+    # per-run RNG stream (the counter-based analog of the reference's
+    # srand(clock()) self-seeding)
+    state = dataclasses.replace(
+        state,
+        key=jnp.asarray(
+            [(seed * 2654435761) % 2**32, seed], jnp.uint32
+        ).reshape(state.key.shape),
+    )
+    state = setup(state, params, spec, dt=model.dt)
+    state = simulate(state, params, spec, steps)
+    out = gather_particles(state, spec.geom, fields=("x", "Cd"))
+    return {"x": out["x"][:, 0], "y": out["x"][:, 1],
+            "c_cd": out["Cd"][:, 0].astype(float)}
+
+
+def profile(d: dict, nbins: int = 8):
+    bins = np.linspace(0, L, nbins + 1)
+    idx = np.clip(np.digitize(d["x"], bins) - 1, 0, nbins - 1)
+    return np.array([d["c_cd"][idx == b].mean() for b in range(nbins)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lmp", default="/tmp/lmpbuild/src/lmp_serial")
+    ap.add_argument("--runs", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--cpp-only", action="store_true")
+    args = ap.parse_args()
+
+    total0 = CD0 * (NXP // 2) * NXP
+
+    cpp_profiles, cpp_totals = [], []
+    for r in range(args.runs):
+        d = run_cpp(args.lmp, args.steps, pad=17 * r)
+        cpp_profiles.append(profile(d))
+        cpp_totals.append(d["c_cd"].sum())
+    cpp_profiles = np.array(cpp_profiles)
+    print("cpp totals:", cpp_totals, f"(expect {total0})")
+    dup = len({tuple(p) for p in cpp_profiles.round(9)}) < len(cpp_profiles)
+    print(f"cpp mean profile: {cpp_profiles.mean(0).round(2)}")
+    print(f"cpp run-to-run sd: {cpp_profiles.std(0).round(3)}  "
+          f"duplicate streams: {dup}")
+    if args.cpp_only:
+        return
+
+    our_profiles, our_totals = [], []
+    for r in range(args.runs):
+        d = run_ours(args.steps, seed=1234 + r)
+        our_profiles.append(profile(d))
+        our_totals.append(d["c_cd"].sum())
+    our_profiles = np.array(our_profiles)
+    print("our totals:", our_totals, f"(expect {total0})")
+    print(f"our mean profile: {our_profiles.mean(0).round(2)}")
+
+    m_c, m_o = cpp_profiles.mean(0), our_profiles.mean(0)
+    se = np.sqrt(cpp_profiles.var(0) / args.runs
+                 + our_profiles.var(0) / args.runs)
+    z = np.abs(m_c - m_o) / np.maximum(se, 1e-9)
+    print(f"profile |z|: {z.round(2)}  (pass: max < 4)")
+    assert (np.array(cpp_totals) == total0).all(), "C++ lost molecules"
+    assert (np.array(our_totals) == total0).all(), "ours lost molecules"
+    assert z.max() < 4.0, "mean Cd profiles disagree beyond sampling error"
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()
