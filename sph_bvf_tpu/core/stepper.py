@@ -145,6 +145,8 @@ def simulate(
     if cb_every % chunk:
         raise ValueError("callback_every must be a multiple of rebin_every")
 
+    warned_mu = [False]
+
     def check(state):
         overflow = int(state.overflow)
         if overflow:
@@ -158,6 +160,21 @@ def simulate(
                 f"rebins — pair coverage may have been violated; lower "
                 f"rebin_every or raise Scene.margin_frac"
             )
+        # tau-leap regime guard (ops/pair.compute_ssa_mu_max): the SSA
+        # diffusion truncates per-pair Poisson draws, valid only for
+        # per-pair means << 1
+        if params.n_ssa > 0 and not warned_mu[0]:
+            from sph_bvf_tpu.ops.pair import compute_ssa_mu_max
+
+            mu = float(compute_ssa_mu_max(state, params, spec.geom, spec.pair))
+            if mu > 0.3:
+                warned_mu[0] = True
+                print(
+                    f"[ssa] WARNING: max per-pair hop mean {mu:.3g} > 0.3 — "
+                    f"the tau-leap truncation (poisson_terms="
+                    f"{spec.pair.ssa_poisson_terms}) clips the hop-count "
+                    f"tail; reduce dt or kappaSSA for exact-SSA statistics"
+                )
 
     done = 0
     while done < nsteps:

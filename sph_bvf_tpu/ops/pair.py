@@ -658,6 +658,54 @@ def compute_pair_virial(state: State, params: Params, geom: Geometry,
     return jnp.where(state.valid, acc["vir"], 0.0)
 
 
+def compute_ssa_mu_max(state: State, params: Params, geom: Geometry,
+                       cfg: PairConfig):
+    """Max per-directed-pair hop mean mu = kappaSSA * (-dQc_base) * Cd * dt.
+
+    The tau-leap diffusion (core/ssa.py) truncates the per-pair Poisson at
+    ``cfg.ssa_poisson_terms`` and is statistically exact only for mu << 1;
+    the reference's sequential Gillespie has no such regime limit.  This
+    diagnostic runs at check cadence (core/stepper.simulate) so a user with
+    too large a dt gets a loud warning instead of silently clipped tails.
+    """
+    if params.n_ssa == 0:
+        return jnp.zeros((), state.x.dtype)
+    f32 = state.x.dtype
+    pf = _per_particle(state, params, cfg)
+    I = {k: _bc(v, "i") for k, v in pf.items()}
+    not_diag = ~(
+        jnp.arange(geom.cap)[:, None] == jnp.arange(geom.cap)[None, :]
+    )[:, :, None]
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+    mu_max = jnp.zeros((), f32)
+    for off in geom.stencil_offsets():
+        J = {
+            k: _bc(shift_cells(pf[k], off, geom), "j")
+            for k in ("valid", "x", "rho", "inv_rho", "ptype")
+        }
+        notself = not_diag if off == (0, 0, 0) else True
+        coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params, cfg)
+        dx = _pair_delta(I["x"], J["x"], pbc)
+        rsq = _dot3(dx, dx)
+        r = jnp.sqrt(rsq)
+        mask = (I["valid"] & J["valid"] & notself).astype(f32)
+        hc = coeffs["hc"]
+        wfd_c = lucy_wfd_ih(r, coeffs["inv_hc"], cfg.dim) * mask
+        dQc_base = (
+            2.0 * coeffs["m_harm"] * (I["inv_rho"] + J["inv_rho"])
+            * rsq * wfd_c / (rsq + 0.01 * hc * hc)
+        )
+        mu = coeffs["kss"] * (-dQc_base)[None] * state.dt * jnp.maximum(
+            I["Cd"].astype(f32), 0.0
+        )
+        mu_max = jnp.maximum(mu_max, jnp.max(mu))
+    return mu_max
+
+
 # ---------------------------------------------------------------------------
 # pass B: sweep 3 (weighted solid velocity/acceleration near fluids)
 # ---------------------------------------------------------------------------

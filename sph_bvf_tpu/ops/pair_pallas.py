@@ -393,7 +393,27 @@ def _call_padded(
         if rowloop:
             out_ref[...] = jnp.zeros((A, cap, BLK), jnp.float32)
 
-            def body(r, carry):
+            # sublane-sized i-row tiles + static remainder rows (see
+            # _call_tiled3d for the alignment rationale)
+            occmax = occmax_ref[b]
+            TI = min(8, cap)
+            R8 = (cap // TI) * TI
+
+            def body(t, carry):
+                r0 = t * TI
+                nd = ~(
+                    (r0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (TI, cap, 1), 0))
+                    == jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 1)
+                )
+                acc = acc_for_ibuf(mid_ref[:, pl.dslice(r0, TI), :], nd)
+                write_rows(acc, r0, TI)
+                return carry
+
+            ntiles = jnp.minimum((occmax + TI - 1) // TI, R8 // TI)
+            jax.lax.fori_loop(0, ntiles, body, 0)
+
+            def tail(r, carry):
                 nd = ~(
                     r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
                 )
@@ -401,7 +421,8 @@ def _call_padded(
                 write_rows(acc, r, 1)
                 return carry
 
-            jax.lax.fori_loop(0, occmax_ref[b], body, 0)
+            if R8 < cap:
+                jax.lax.fori_loop(R8, jnp.clip(occmax, R8, cap), tail, 0)
             return
 
         acc0 = acc_for_ibuf(
@@ -629,15 +650,43 @@ def _call_tiled3d(
 
         out_ref[...] = jnp.zeros((A, 1, cap, BLK), jnp.float32)
 
-        def body(r, carry):
-            nd = ~(r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1))
-            # fresh ref load at the sliced row -> zero-offset layout (see
+        # i-rows in sublane-sized tiles: full (8,128) vregs per op, 8x fewer
+        # loop iterations and out_ref writes than row-at-a-time.  Dynamic
+        # multi-row slices must start at sublane multiples (Mosaic), so the
+        # fori covers the aligned full tiles and the last cap % 8 rows run
+        # as statically-unrolled single rows under occupancy gates.
+        occmax = occmax_ref[bx * n_yb + by]
+        TI = min(8, cap)
+        R8 = (cap // TI) * TI
+
+        def body(t, carry):
+            r0 = t * TI
+            nd = ~(
+                (r0 + jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 0))
+                == jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 1)
+            )
+            # fresh ref load at the sliced rows -> zero-offset layout (see
             # _call_padded.acc_for_ibuf)
+            acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r0, TI), :], nd)
+            write_rows(acc, r0, TI)
+            return carry
+
+        ntiles = jnp.minimum((occmax + TI - 1) // TI, R8 // TI)
+        jax.lax.fori_loop(0, ntiles, body, 0)
+
+        # tail rows [R8, cap): single-row dynamic slices are exempt from the
+        # sublane-alignment rule, and a fori keeps the 27-offset physics
+        # compiled exactly twice (tile body + this) instead of per-row
+        def tail(r, carry):
+            nd = ~(r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1))
             acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r, 1), :], nd)
             write_rows(acc, r, 1)
             return carry
 
-        jax.lax.fori_loop(0, occmax_ref[bx * n_yb + by], body, 0)
+        if R8 < cap:
+            jax.lax.fori_loop(
+                R8, jnp.clip(occmax, R8, cap), tail, 0
+            )
 
     pf_specs = [
         pl.BlockSpec(

@@ -8,6 +8,7 @@ must be validated *statistically* (VALIDATION.md).
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,8 @@ from sph_bvf_tpu.core.ssa import (
 from sph_bvf_tpu.core.state import GROUP_ALL
 from sph_bvf_tpu.core.stepper import run_chunk, setup
 from sph_bvf_tpu.api.scene import Region, Scene
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_truncated_poisson_moments():
@@ -151,3 +154,43 @@ def test_diffusion_conserves_molecules():
     assert int(jnp.max(jnp.abs(state.Qd))) >= 0
     cd = np.asarray(state.Cd[0])[np.asarray(state.valid)]
     assert cd.std() > 0  # counts redistributed stochastically
+
+
+def test_ssa_scenario_via_lmp_front_end():
+    """The SSA golden scenario (tools/ssa_golden.py) end-to-end through the
+    .lmp front end: one SSA species on a fixed-solid crystal under the tv
+    integrator, diffusing left->right.  Validates the script path
+    (atom_style ssa counts, set ssa_tsdpd/Cd, pair_coeff kappaSSA) plus
+    conservation and the tau-leap regime diagnostic."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from tools.ssa_golden import CD0, NXP, scenario_lmp
+
+    from sph_bvf_tpu.api.lmp import parse_script
+    from sph_bvf_tpu.ops.pair import compute_ssa_mu_max
+
+    text = "\n".join(
+        l for l in scenario_lmp(20, "/tmp", 20).splitlines()
+        if not l.startswith("dump")
+    )
+    model = parse_script(text)
+    state, params, spec = model.build()
+    assert params.n_ssa == 1
+    total0 = int(jnp.sum(jnp.where(state.valid, state.Cd[0], 0)))
+    assert total0 == CD0 * (NXP // 2) * NXP
+
+    state = setup(state, params, spec, dt=model.dt)
+    mu = float(compute_ssa_mu_max(state, params, spec.geom, spec.pair))
+    assert 0.0 < mu < 0.3, mu  # scenario sits inside the tau-leap regime
+
+    for _ in range(2):
+        state = run_chunk(state, params, spec, spec.rebin_every)
+    total = int(jnp.sum(jnp.where(state.valid, state.Cd[0], 0)))
+    assert abs(total - total0) <= 2, (total, total0)
+    # kinematics frozen: every particle is a fixed solid
+    assert float(jnp.max(jnp.abs(state.v))) == 0.0
+    # molecules crossed the step: some right-half particle has counts
+    x = state.x[0]
+    right = state.valid & (x > 0.5e-3)
+    assert int(jnp.max(jnp.where(right, state.Cd[0], 0))) > 0
