@@ -217,15 +217,21 @@ def _call_padded(
     BLK: int,
     interpret: bool,
     rowloop: bool,
+    occ_edge: str = "walls",
 ) -> jax.Array:
     """Run the kernel over a pre-assembled padded buffer.
 
-    ``PFp``: [F, cap, NC_pad + 2*BLK] with halo/ghost content already in
-    place (core/halo.py).  ``occ``: per-lane occupancy [NC_lanes] (valid
-    counts) for the i-slot gating, or None to disable gating.  Returns the
-    raw packed accumulators [A, cap, NC_pad]; the caller trims.
+    ``PFp``: [F, cap_rows, NC_pad + 2*BLK] with halo/ghost content already
+    in place (core/halo.py); for the rowloop shape the caller pads cap_rows
+    to a sublane multiple (padded rows invalid).  ``occ``: per-lane
+    occupancy [NC_lanes] (valid counts) for the slot gating, or None to
+    disable gating.  ``occ_edge`` says what the halo blocks' occupancy
+    bound is for the rowloop's j gating: "walls" (zeros), "wrap" (the far
+    end of this same array), or "cap" (unknown remote content — a sharded
+    neighbor's slab; assume full).  Returns the raw packed accumulators
+    [A, cap_rows, NC_pad]; the caller trims.
     """
-    cap = geom.cap
+    cap = PFp.shape[1]
     T = params.ntypes
     ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
     sgx, sgy, sgz = halo_mod.ghosted_strides(geom)
@@ -393,36 +399,96 @@ def _call_padded(
         if rowloop:
             out_ref[...] = jnp.zeros((A, cap, BLK), jnp.float32)
 
-            # sublane-sized i-row tiles + static remainder rows (see
-            # _call_tiled3d for the alignment rationale)
-            occmax = occmax_ref[b]
+            # both particle axes in sublane-sized occupancy-gated tiles
+            # (see _call_tiled3d for the full rationale): i-rows run
+            # ceil(occmax/TI) tiles, and per offset the j axis runs
+            # ceil(occ3/TI) tiles, where occ3 bounds the occupancy of any
+            # cell this block's windows can read
+            occmax = occmax_ref[0, b]
+            occ3 = occmax_ref[1, b]
             TI = min(8, cap)
-            R8 = (cap // TI) * TI
+
+            def unpack_j(j0, lo):
+                out = {}
+                for name, nrows in fl:
+                    r0, r1 = frow[name]
+                    a = jax.lax.dynamic_slice(
+                        buf[r0:r1], (0, j0, lo), (nrows, TI, BLK)
+                    )
+                    if name in ("AS", "S"):
+                        out[name] = a.reshape((3, 3) + a.shape[1:])
+                    elif nrows == 1:
+                        out[name] = a[0]
+                    else:
+                        out[name] = a
+                return out
+
+            def acc_for_itile(r0):
+                ibuf = mid_ref[:, pl.dslice(r0, TI), :]
+                ctr = unpack(ibuf, 0, BLK)
+                Ifields = dict(ctr)
+                Ifields["valid"] = ctr["valid"] != 0.0
+                Ifields["solid"] = ctr["solid"] != 0.0
+                Ifields["fluid"] = ~Ifields["solid"]
+                I = {k: _bc(v, "i") for k, v in Ifields.items()}
+                acc = {}
+                for name, nrows in al:
+                    if name in _SCALAR_ACCS:
+                        shape = (TI, BLK)
+                    elif name == "dS":
+                        shape = (3, 3, TI, BLK)
+                    else:
+                        shape = (nrows, TI, BLK)
+                    acc[name] = jnp.zeros(shape, jnp.float32)
+
+                def jbody(jt, acc):
+                    j0 = jt * TI
+                    for off in offsets:
+                        off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
+                        lo = BLK + off_flat
+                        Jf = unpack_j(j0, lo)
+                        inb = jnp.ones((1, BLK), bool)
+                        for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
+                            if o != 0:
+                                inb = inb & (c + o >= 0) & (c + o < n)
+                        Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                        Jf["solid"] = Jf["solid"] != 0.0
+                        J = {k: _bc(v, "j") for k, v in Jf.items()}
+                        ti, tj = I["ptype"], J["ptype"]
+                        coeffs = {
+                            k: _select_table(ti, tj, tab_ref[i], T)
+                            for i, k in enumerate(tab_names)
+                        }
+                        if params.n_sdpd > 0:
+                            coeffs["kap"] = _select_table_rows(
+                                ti, tj, kap_ref, T, params.n_sdpd
+                            )
+                        if off == (0, 0, 0):
+                            notself = (
+                                r0 + jax.lax.broadcasted_iota(
+                                    jnp.int32, (TI, TI, 1), 0)
+                            ) != (
+                                j0 + jax.lax.broadcasted_iota(
+                                    jnp.int32, (TI, TI, 1), 1)
+                            )
+                        else:
+                            notself = True
+                        acc = _pass_a_offset(
+                            I, J, coeffs, params, cfg, 0.0, 0, notself, acc,
+                            pbc=pbc,
+                        )
+                    return acc
+
+                return jax.lax.fori_loop(
+                    0, (occ3 + TI - 1) // TI, jbody, acc
+                )
 
             def body(t, carry):
                 r0 = t * TI
-                nd = ~(
-                    (r0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (TI, cap, 1), 0))
-                    == jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 1)
-                )
-                acc = acc_for_ibuf(mid_ref[:, pl.dslice(r0, TI), :], nd)
-                write_rows(acc, r0, TI)
+                write_rows(acc_for_itile(r0), r0, TI)
                 return carry
 
-            ntiles = jnp.minimum((occmax + TI - 1) // TI, R8 // TI)
-            jax.lax.fori_loop(0, ntiles, body, 0)
-
-            def tail(r, carry):
-                nd = ~(
-                    r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
-                )
-                acc = acc_for_ibuf(mid_ref[:, pl.dslice(r, 1), :], nd)
-                write_rows(acc, r, 1)
-                return carry
-
-            if R8 < cap:
-                jax.lax.fori_loop(R8, jnp.clip(occmax, R8, cap), tail, 0)
+            jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body, 0)
             return
 
         acc0 = acc_for_ibuf(
@@ -433,7 +499,7 @@ def _call_padded(
             out_ref[:, s0:s1, :] = jnp.zeros((A, s1 - s0, BLK), jnp.float32)
 
             if need_occmax:
-                @pl.when(occmax_ref[b] > s0)
+                @pl.when(occmax_ref[0, b] > s0)
                 def _(s0=s0, s1=s1):
                     acc = acc_for_ibuf(
                         mid_ref[:, s0:s1, :], static_not_diag(s0, s1 - s0)
@@ -472,9 +538,28 @@ def _call_padded(
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
     if need_occmax:
-        # per-block max occupancy (slots are rank-compacted at rebin)
+        # per-block max occupancy (slots are rank-compacted at rebin), plus
+        # the 1D-neighborhood max used by the rowloop's j gating
         occp = jnp.pad(occ, (0, NC_pad - NC_lanes))
         occmax = jnp.max(occp.reshape(grid, BLK), axis=1)
+        if occ_edge == "wrap":
+            occ3 = jnp.maximum(
+                occmax,
+                jnp.maximum(jnp.roll(occmax, 1), jnp.roll(occmax, -1)),
+            )
+        else:
+            z = jnp.zeros((1,), occmax.dtype)
+            occ3 = jnp.maximum(
+                occmax,
+                jnp.maximum(
+                    jnp.concatenate([z, occmax[:-1]]),
+                    jnp.concatenate([occmax[1:], z]),
+                ),
+            )
+            if occ_edge == "cap":
+                # a sharded neighbor's halo slab: occupancy unknown here
+                occ3 = occ3.at[0].set(cap).at[-1].set(cap)
+        occ2 = jnp.stack([occmax, occ3], axis=0)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -485,7 +570,7 @@ def _call_padded(
             ),
             out_shape=out_shape,
             **kwargs,
-        )(occmax, tables, kap, PFp, PFp, PFp)
+        )(occ2, tables, kap, PFp, PFp, PFp)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -521,9 +606,14 @@ def _call_tiled3d(
     set of BLOCK REFS over [..., ngx + 2, NYZ_pad + 2*BLK] (one halo plane
     each side), and y/z remain lane offsets (+-ngz, +-1) inside the
     3-consecutive-yz-block window.  Per-block VMEM is constant in the grid
-    size.  ``PF4p`` comes from core/halo.assemble_tiled; ``occ`` is the
-    per-(plane, yz-block) max occupancy, [n_planes * n_yb] i32.  Returns
-    [A, cap, n_planes, NYZ_pad].
+    size.  ``PF4p`` comes from core/halo.assemble_tiled transposed to
+    [F, n_planes + 2, capk, NYZ_pad + 2*BLK] (the plane axis must sit
+    outside the last two dims: Mosaic requires those to be (8,128)-aligned
+    or full; capk is cap padded to a sublane multiple so both particle-axis
+    fori loops run whole aligned tiles with no tail path); ``occ`` is
+    [2, n_planes * n_yb] i32: row 0 the block's own max occupancy (the
+    i-row bound), row 1 the 3x3-neighborhood max (the j-row bound).
+    Returns [A, n_planes, capk, NYZ_pad].
     """
     cap = geom.cap
     T = params.ntypes
@@ -571,12 +661,20 @@ def _call_tiled3d(
                 out[name] = a
         return out
 
+    capk = PF4p.shape[2]  # cap padded to a sublane multiple by the caller
+    TI = min(8, capk)
+
     def kernel(*refs):
-        occmax_ref, tab_ref, kap_ref = refs[0], refs[1], refs[2]
+        occ2_ref, tab_ref, kap_ref = refs[0], refs[1], refs[2]
         pf_refs = refs[3:12]  # [dx*3 + dy] for dx, dy in {0,1,2}^2
         out_ref = refs[12]
         bx = pl.program_id(0)
         by = pl.program_id(1)
+        # occ2[0] = this block's max occupancy (i-row bound); occ2[1] = max
+        # over the 3x3 neighborhood (j-row bound — any cell a stencil
+        # window can read)
+        occmax = occ2_ref[0, bx * n_yb + by]
+        occ9 = occ2_ref[1, bx * n_yb + by]
 
         # stage the 3 x-planes' 3-yz-block windows in VMEM
         bufs = [
@@ -591,8 +689,32 @@ def _call_tiled3d(
         cz = l % ngz
         cy = l // ngz  # within-plane y coordinate (>= ngy on pad lanes)
 
-        def acc_for_ibuf(ibuf, not_diag):
-            ci = ibuf.shape[1]
+        def unpack_j(buf, j0, lo):
+            """J fields for rows [j0, j0+8) of the lane window at ``lo``."""
+            out = {}
+            for name, nrows in fl:
+                r0, r1 = frow[name]
+                a = jax.lax.dynamic_slice(
+                    buf[r0:r1], (0, j0, lo), (nrows, TI, BLK)
+                )
+                if name in ("AS", "S"):
+                    out[name] = a.reshape((3, 3) + a.shape[1:])
+                elif nrows == 1:
+                    out[name] = a[0]
+                else:
+                    out[name] = a
+            return out
+
+        def acc_for_ibuf(ibuf, r0):
+            """Accumulators for i-rows [r0, r0+TI), j-tiled by occupancy.
+
+            Both particle axes are occupancy-gated: the i loop (caller)
+            runs ceil(occmax/TI) tiles, and the j axis here runs
+            ceil(occ9/TI) tiles of TI rows per stencil offset — work scales
+            with actual occupancy on both sides instead of cap^2.
+            ``ibuf`` is a fresh ref load (zero-offset layout, see
+            _call_padded).
+            """
             ctr = unpack(ibuf, 0, BLK)
             Ifields = dict(ctr)
             Ifields["valid"] = ctr["valid"] != 0.0
@@ -602,95 +724,80 @@ def _call_tiled3d(
             acc = {}
             for name, nrows in al:
                 if name in _SCALAR_ACCS:
-                    shape = (ci, BLK)
+                    shape = (TI, BLK)
                 elif name == "dS":
-                    shape = (3, 3, ci, BLK)
+                    shape = (3, 3, TI, BLK)
                 else:
-                    shape = (nrows, ci, BLK)
+                    shape = (nrows, TI, BLK)
                 acc[name] = jnp.zeros(shape, jnp.float32)
 
-            for off in offsets:
-                lo = BLK + off[1] * ngz + off[2]
-                Jf = unpack(bufs[off[0] + 1], lo, lo + BLK)
-                # y/z masks: a +-1 step from a row/column edge lands on the
-                # adjacent row's far lane — mask it (ghost columns keep
-                # periodic wraps in-bounds with correct content).  The x
-                # direction selects a whole plane ref; its boundary
-                # condition is the halo plane's content.
-                inb = jnp.ones((1, BLK), bool)
-                if off[1] != 0:
-                    inb = inb & (cy + off[1] >= 0) & (cy + off[1] < ngy)
-                if off[2] != 0:
-                    inb = inb & (cz + off[2] >= 0) & (cz + off[2] < ngz)
-                Jf["valid"] = (Jf["valid"] != 0.0) & inb
-                Jf["solid"] = Jf["solid"] != 0.0
-                J = {k: _bc(v, "j") for k, v in Jf.items()}
+            def jbody(jt, acc):
+                j0 = jt * TI
+                for off in offsets:
+                    lo = BLK + off[1] * ngz + off[2]
+                    Jf = unpack_j(bufs[off[0] + 1], j0, lo)
+                    # y/z masks: a +-1 step from a row/column edge lands on
+                    # the adjacent column's far lane — mask it (ghost
+                    # columns keep periodic wraps in-bounds with correct
+                    # content).  The x direction selects a whole plane ref;
+                    # its boundary condition is the halo plane's content.
+                    inb = jnp.ones((1, BLK), bool)
+                    if off[1] != 0:
+                        inb = inb & (cy + off[1] >= 0) & (cy + off[1] < ngy)
+                    if off[2] != 0:
+                        inb = inb & (cz + off[2] >= 0) & (cz + off[2] < ngz)
+                    Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                    Jf["solid"] = Jf["solid"] != 0.0
+                    J = {k: _bc(v, "j") for k, v in Jf.items()}
 
-                ti, tj = I["ptype"], J["ptype"]
-                coeffs = {
-                    k: _select_table(ti, tj, tab_ref[i], T)
-                    for i, k in enumerate(tab_names)
-                }
-                if params.n_sdpd > 0:
-                    coeffs["kap"] = _select_table_rows(
-                        ti, tj, kap_ref, T, params.n_sdpd
+                    ti, tj = I["ptype"], J["ptype"]
+                    coeffs = {
+                        k: _select_table(ti, tj, tab_ref[i], T)
+                        for i, k in enumerate(tab_names)
+                    }
+                    if params.n_sdpd > 0:
+                        coeffs["kap"] = _select_table_rows(
+                            ti, tj, kap_ref, T, params.n_sdpd
+                        )
+                    if off == (0, 0, 0):
+                        notself = (
+                            r0 + jax.lax.broadcasted_iota(
+                                jnp.int32, (TI, TI, 1), 0)
+                        ) != (
+                            j0 + jax.lax.broadcasted_iota(
+                                jnp.int32, (TI, TI, 1), 1)
+                        )
+                    else:
+                        notself = True
+                    acc = _pass_a_offset(
+                        I, J, coeffs, params, cfg, 0.0, 0, notself, acc,
+                        pbc=pbc,
                     )
-                notself = not_diag if off == (0, 0, 0) else True
-                acc = _pass_a_offset(
-                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc, pbc=pbc
-                )
-            return acc
+                return acc
 
-        def write_rows(acc, s0, ci):
+            jtrips = (occ9 + TI - 1) // TI
+            return jax.lax.fori_loop(0, jtrips, jbody, acc)
+
+        def write_rows(acc, s0):
             for name, nrows in al:
                 r0, r1 = arow[name]
-                out_ref[r0:r1, 0, pl.dslice(s0, ci), :] = acc[name].reshape(
-                    nrows, ci, BLK
+                out_ref[r0:r1, 0, pl.dslice(s0, TI), :] = acc[name].reshape(
+                    nrows, TI, BLK
                 )
 
-        out_ref[...] = jnp.zeros((A, 1, cap, BLK), jnp.float32)
-
-        # i-rows in sublane-sized tiles: full (8,128) vregs per op, 8x fewer
-        # loop iterations and out_ref writes than row-at-a-time.  Dynamic
-        # multi-row slices must start at sublane multiples (Mosaic), so the
-        # fori covers the aligned full tiles and the last cap % 8 rows run
-        # as statically-unrolled single rows under occupancy gates.
-        occmax = occmax_ref[bx * n_yb + by]
-        TI = min(8, cap)
-        R8 = (cap // TI) * TI
+        out_ref[...] = jnp.zeros((A, 1, capk, BLK), jnp.float32)
 
         def body(t, carry):
             r0 = t * TI
-            nd = ~(
-                (r0 + jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 0))
-                == jax.lax.broadcasted_iota(jnp.int32, (TI, cap, 1), 1)
-            )
-            # fresh ref load at the sliced rows -> zero-offset layout (see
-            # _call_padded.acc_for_ibuf)
-            acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r0, TI), :], nd)
-            write_rows(acc, r0, TI)
+            acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r0, TI), :], r0)
+            write_rows(acc, r0)
             return carry
 
-        ntiles = jnp.minimum((occmax + TI - 1) // TI, R8 // TI)
-        jax.lax.fori_loop(0, ntiles, body, 0)
-
-        # tail rows [R8, cap): single-row dynamic slices are exempt from the
-        # sublane-alignment rule, and a fori keeps the 27-offset physics
-        # compiled exactly twice (tile body + this) instead of per-row
-        def tail(r, carry):
-            nd = ~(r == jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1))
-            acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r, 1), :], nd)
-            write_rows(acc, r, 1)
-            return carry
-
-        if R8 < cap:
-            jax.lax.fori_loop(
-                R8, jnp.clip(occmax, R8, cap), tail, 0
-            )
+        jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body, 0)
 
     pf_specs = [
         pl.BlockSpec(
-            (F, 1, cap, BLK),
+            (F, 1, capk, BLK),
             (lambda dx, dy: lambda bx, by, *_: (0, bx + dx, 0, by + dy))(
                 dx, dy
             ),
@@ -710,11 +817,11 @@ def _call_tiled3d(
         ),
     ] + pf_specs
     out_spec = pl.BlockSpec(
-        (A, 1, cap, BLK), lambda bx, by, *_: (0, bx, 0, by),
+        (A, 1, capk, BLK), lambda bx, by, *_: (0, bx, 0, by),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct(
-        (A, n_planes, cap, NYZ_pad), jnp.float32
+        (A, n_planes, capk, NYZ_pad), jnp.float32
     )
     return pl.pallas_call(
         kernel,
@@ -747,8 +854,12 @@ def _pass_a_tiled3d(
     NYZ = ngy * ngz
     NYZ_pad = _round_up(NYZ, BLK)
     n_yb = NYZ_pad // BLK
+    capk = _round_up(cap, 8)
 
     PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    # pad the slot axis to a sublane multiple: the padded rows are invalid
+    # (zero valid) and never run — both fori loops are occupancy-gated
+    PF = jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
     PF4p = halo_mod.assemble_tiled(
         PFg, geom, BLK, NYZ_pad, halo_mod.wrap_x(geom)
@@ -757,15 +868,48 @@ def _pass_a_tiled3d(
     PF4p = jnp.transpose(PF4p, (0, 2, 1, 3))
     occ = _occ_from_packed(PFg).reshape(ngx, NYZ)
     occ = jnp.pad(occ, ((0, 0), (0, NYZ_pad - NYZ)))
-    occmax = jnp.max(occ.reshape(ngx, n_yb, BLK), axis=2).reshape(-1)
+    occmax = jnp.max(occ.reshape(ngx, n_yb, BLK), axis=2)  # [ngx, n_yb]
+    occ9 = _neighborhood_max(occmax, halo_mod.wrap_x(geom))
+    occ2 = jnp.stack([occmax.reshape(-1), occ9.reshape(-1)], axis=0)
 
     out = _call_tiled3d(
-        PF4p, occmax, params, geom, cfg, ngx, BLK, interpret
+        PF4p, occ2, params, geom, cfg, ngx, BLK, interpret
     )
-    out = jnp.transpose(out, (0, 2, 1, 3))  # back to [A, cap, planes, lanes]
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :cap]  # [A, cap, planes, lanes]
     out = out[..., :NYZ].reshape(out.shape[0], cap, ngx * NYZ)
     out = halo_mod.trim_ghosts(out, geom)
     return _unpack_accs(out, params, cfg, cap, NC)
+
+
+def _neighborhood_max(occmax: jax.Array, wrap: bool) -> jax.Array:
+    """[n_planes, n_yb] -> elementwise max over the 3x3 block neighborhood.
+
+    Bounds the occupancy of any cell a block's stencil windows can read:
+    x neighbors are adjacent planes (wrapped when x is periodic, else
+    zero), yz neighbors are adjacent lane blocks (lane padding is zeros).
+    """
+
+    def shift(a, d, axis, wrap_axis):
+        if wrap_axis:
+            return jnp.roll(a, d, axis=axis)
+        z = jnp.zeros_like(a)
+        sl = [slice(None)] * a.ndim
+        dst = [slice(None)] * a.ndim
+        if d > 0:
+            sl[axis] = slice(0, -d)
+            dst[axis] = slice(d, None)
+        else:
+            sl[axis] = slice(-d, None)
+            dst[axis] = slice(0, d)
+        return z.at[tuple(dst)].set(a[tuple(sl)])
+
+    out = occmax
+    for dx in (-1, 1):
+        out = jnp.maximum(out, shift(occmax, dx, 0, wrap))
+    m = out
+    for dy in (-1, 1):
+        out = jnp.maximum(out, shift(m, dy, 1, False))
+    return out
 
 
 def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
@@ -814,6 +958,9 @@ def pass_a_pallas(
     max_off = halo_mod.max_flat_offset(geom)
 
     PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    if rowloop:
+        # sublane-multiple slot rows so the tiled fori loops need no tail
+        PF = jnp.pad(PF, ((0, 0), (0, _round_up(cap, 8) - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
     NCg = PFg.shape[-1]
     NC_pad = _round_up(NCg, BLK)
@@ -823,8 +970,9 @@ def pass_a_pallas(
     out = _call_padded(
         PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
         interpret, rowloop,
+        occ_edge="wrap" if halo_mod.wrap_x(geom) else "walls",
     )
-    out = halo_mod.trim_ghosts(out[:, :, :NCg], geom)
+    out = halo_mod.trim_ghosts(out[:, :cap, :NCg], geom)
     return _unpack_accs(out, params, cfg, cap, NC)
 
 
@@ -874,6 +1022,8 @@ def pass_a_sharded(
             f"{n_shards} shards (use Scene.ncx_multiple_of)"
         )
     PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    if rowloop:
+        PF = jnp.pad(PF, ((0, 0), (0, _round_up(cap, 8) - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
     NCg = PFg.shape[-1]
     NC_loc = NCg // n_shards
@@ -897,8 +1047,11 @@ def pass_a_sharded(
         out = _call_padded(
             PFp, _occ_from_packed(PFl), params, geom, cfg, NC_loc, BLK,
             interpret, rowloop,
+            # edge blocks read ppermute'd neighbor slabs whose occupancy is
+            # unknown locally — assume full there
+            occ_edge="cap",
         )
-        return out[:, :, :NC_loc]
+        return out[:, :geom.cap, :NC_loc]
 
     out = shard_map(
         local,
