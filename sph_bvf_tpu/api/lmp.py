@@ -18,7 +18,8 @@ Supported commands (everything the four example families use):
   set.cpp:547-613), mass, velocity set, pair_style ssa_tsdpd/bvf/*,
   pair_coeff, fix (integrators, setforce, ssa_tsdpd/{forcing,buffer,
   buoyancy,chem_rxn_mass_action,ssa_rxn_mass_action}, dt/adaptive), compute
-  ssa_tsdpd/*/atom, dump vtk, thermo, thermo_style, neighbor, timestep,
+  ssa_tsdpd/*/atom, dump vtk/custom, thermo, thermo_style, neighbor,
+  newton, timestep,
   run, print.
 
 Arg orders are transcribed from the reference parsers (citations inline).
@@ -89,6 +90,7 @@ class DumpSpec:
     every: int
     filename: str
     fields: List[str]
+    style: str = "vtk"
 
 
 @dataclasses.dataclass
@@ -180,6 +182,8 @@ class LmpModel:
                 pd["type"] = (out["ptype"] + 1).astype(np.int32)
             elif f in ("vx", "vy", "vz"):
                 pd[f] = out["v"][:, "xyz".index(f[1])]
+            elif f in ("x", "y", "z"):
+                pd[f] = out["x"][:, "xyz".index(f)]
             elif f.startswith("c_"):
                 name, idx = self.computes[f[2:]]
                 pd[f] = np.asarray(
@@ -188,9 +192,14 @@ class LmpModel:
             else:
                 raise LmpError(f"dump field {f!r} not supported")
         path = os.path.join(out_dir, d.filename.replace("*", str(stepno)))
-        from sph_bvf_tpu.io.vtk import write_auto
+        if d.style == "custom":
+            from sph_bvf_tpu.io.vtk import write_dump_custom
 
-        write_auto(path, out["x"], pd)
+            write_dump_custom(path, stepno, geom, d.fields, out["x"], pd)
+        else:
+            from sph_bvf_tpu.io.vtk import write_auto
+
+            write_auto(path, out["x"], pd)
 
 
 # ---------------------------------------------------------------------------
@@ -544,10 +553,11 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
             computes[label] = (name, idx)
         elif cmd == "dump":
             label, group, style = args[0], args[1], args[2]
-            if style != "vtk":
+            if style not in ("vtk", "custom"):
                 raise LmpError(f"dump style {style!r} not supported")
             dumps.append(
-                DumpSpec(label, group, int(num(args[3])), args[4], args[5:])
+                DumpSpec(label, group, int(num(args[3])), args[4], args[5:],
+                         style=style)
             )
         elif cmd == "thermo":
             thermo_every = int(num(args[0]))

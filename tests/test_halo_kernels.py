@@ -246,3 +246,24 @@ def test_run_chunk_sharded_kernel_path(fsi_state24):
         np.testing.assert_allclose(
             a[name], b[name], rtol=2e-5, atol=1e-8, err_msg=name
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pass_a_sharded_species_fully_periodic():
+    """Sharded kernels with SDPD species + G0 chemo-coupling + ghost
+    columns + wrapped x — the fully loaded configuration.  Needs a grid
+    whose per-shard slab exceeds the stencil reach, hence nx=64."""
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    state, params, spec, _ = cell_polarization.build(
+        nx=64, rebin_every=5, ncx_multiple_of=8
+    )
+    state = setup(state, params, spec, dt=1e-10)
+    geom, cfg = spec.geom, spec.pair
+    assert params.n_sdpd == 1 and geom.periodic[1]
+    mesh = make_mesh(8)
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_sharded(
+        pf, params, geom, cfg, mesh, block=128, interpret=True
+    )
+    _assert_accs_match(state, params, geom, cfg, acc)

@@ -126,3 +126,42 @@ def test_parallel_collection_writers(tmp_path):
         np.testing.assert_array_equal(
             np.array(arrays["id"].text.split(), "<i4"), pd["id"]
         )
+
+
+def test_dump_custom_text_format(tmp_path):
+    """`dump custom` writes the reference's text dump format (readable by
+    LAMMPS tooling and by tools/golden_compare.read_dump_custom)."""
+    from sph_bvf_tpu.api.lmp import parse_script
+
+    script = f"""
+dimension 2
+units si
+atom_style ssa_tsdpd/atomic 0 0 0
+boundary f f p
+region box block 0 1 0 1 -0.05 0.05 units box
+create_box 1 box
+lattice sq 0.1 origin 0.5 0.5 0.0
+create_atoms 1 region box
+mass 1 0.01
+set group all ssa_tsdpd/rho 1000
+set group all ssa_tsdpd/e 0.
+pair_style ssa_tsdpd/bvf/transportVelocity
+pair_coeff 1 1 1000 0.1 1e-3 0.25 0.25 0
+fix integration all ssa_tsdpd/bvf/transportVelocity
+compute rhoatom all ssa_tsdpd/rho/atom
+dump dmp all custom 5 {tmp_path}/d_*.txt id type x y vx c_rhoatom
+timestep 1e-5
+run 5
+"""
+    model = parse_script(script)
+    model.run(out_dir=str(tmp_path), thermo=False)
+    path = tmp_path / "d_5.txt"
+    assert path.exists()
+    lines = path.read_text().splitlines()
+    assert lines[0] == "ITEM: TIMESTEP" and lines[1] == "5"
+    n = int(lines[lines.index("ITEM: NUMBER OF ATOMS") + 1])
+    assert n == 100
+    hdr = next(l for l in lines if l.startswith("ITEM: ATOMS"))
+    assert hdr.split()[2:] == ["id", "type", "x", "y", "vx", "c_rhoatom"]
+    row = lines[lines.index(hdr) + 1].split()
+    assert len(row) == 6 and float(row[5]) > 0
