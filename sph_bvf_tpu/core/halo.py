@@ -164,6 +164,7 @@ def assemble_tiled(
     wrap: bool,
     plane_left: jax.Array | None = None,
     plane_right: jax.Array | None = None,
+    n_planes: int = 0,
 ) -> jax.Array:
     """Build the 4D buffer the tiled 3D kernel reads.
 
@@ -179,7 +180,7 @@ def assemble_tiled(
     """
     NC = M.shape[-1]
     lead = M.shape[:-1]
-    ngx = geom.ncells[0]
+    ngx = n_planes if n_planes else geom.ncells[0]
     NYZ = NC // ngx
     G = M.reshape(lead + (ngx, NYZ))
     if plane_left is not None:

@@ -912,6 +912,79 @@ def _neighborhood_max(occmax: jax.Array, wrap: bool) -> jax.Array:
     return out
 
 
+def _pass_a_tiled3d_sharded(
+    pf: Dict[str, jax.Array],
+    params: Params,
+    geom: Geometry,
+    cfg,
+    mesh,
+    axis: str = "x",
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Sharded driver for the tiled 3D kernel: x-plane slabs per device.
+
+    Each device holds nx/n x-planes and exchanges ONE plane per side with
+    its mesh neighbors via lax.ppermute (a plane is NYZ contiguous lanes,
+    so halo.exchange_slabs applies unchanged with width=NYZ) — the 3D
+    brick ghost exchange with the y/z directions local by construction.
+    The j occupancy bound for the first/last plane's blocks assumes a full
+    neighbor slab (occupancy unknown locally), like the 2D occ_edge="cap".
+    """
+    NC, cap = geom.ncells_total, geom.cap
+    n_shards = mesh.shape[axis]
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    if ngx % n_shards:
+        raise ValueError(
+            f"nx={ngx} does not split into plane slabs over {n_shards} shards"
+        )
+    nx_loc = ngx // n_shards
+    if nx_loc < 2:
+        raise ValueError("need at least 2 x-planes per shard")
+    BLK = _tile_block(geom)
+    NYZ = ngy * ngz
+    NYZ_pad = _round_up(NYZ, BLK)
+    n_yb = NYZ_pad // BLK
+    capk = _round_up(cap, 8)
+    wrap = halo_mod.wrap_x(geom)
+
+    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    PF = jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0)))
+    PFg = halo_mod.add_ghosts(PF, geom)
+
+    def local(PFl):
+        hl, hr = halo_mod.exchange_slabs(PFl, NYZ, axis, n_shards, wrap)
+        lead = PFl.shape[:-1]
+        PF4p = halo_mod.assemble_tiled(
+            PFl, geom, BLK, NYZ_pad, wrap=False,
+            plane_left=hl.reshape(lead + (1, NYZ)),
+            plane_right=hr.reshape(lead + (1, NYZ)),
+            n_planes=nx_loc,
+        )
+        PF4p = jnp.transpose(PF4p, (0, 2, 1, 3))
+        occ = _occ_from_packed(PFl).reshape(nx_loc, NYZ)
+        occ = jnp.pad(occ, ((0, 0), (0, NYZ_pad - NYZ)))
+        occmax = jnp.max(occ.reshape(nx_loc, n_yb, BLK), axis=2)
+        occ9 = _neighborhood_max(occmax, False)
+        # neighbor-shard planes: occupancy unknown locally — assume full
+        occ9 = occ9.at[0].set(cap).at[-1].set(cap)
+        occ2 = jnp.stack([occmax.reshape(-1), occ9.reshape(-1)], axis=0)
+        out = _call_tiled3d(
+            PF4p, occ2, params, geom, cfg, nx_loc, BLK, interpret
+        )
+        out = jnp.transpose(out, (0, 2, 1, 3))[:, :cap]
+        return out[..., :NYZ].reshape(out.shape[0], cap, nx_loc * NYZ)
+
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, None, axis),
+        out_specs=P(None, None, axis),
+        check_vma=False,
+    )(PFg)
+    out = halo_mod.trim_ghosts(out, geom)
+    return _unpack_accs(out, params, cfg, cap, NC)
+
+
 def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
     al = _acc_layout(params, cfg)
     arow = _row_ranges(al)
@@ -978,13 +1051,14 @@ def pass_a_pallas(
 
 def sharded_eligible(geom: Geometry, n_shards: int) -> bool:
     """Extra constraints for the shard_map kernel path: x-aligned slabs
-    (the in-kernel cy/cz decomposition of the lane index assumes each
-    shard starts on an x-column boundary; use Scene.ncx_multiple_of) wider
-    than the stencil reach (the halo exchange only covers nearest-neighbor
-    shards)."""
+    (use Scene.ncx_multiple_of).  2D: each flat-lane slab must exceed the
+    stencil reach (the halo exchange only covers nearest-neighbor shards).
+    3D (tiled plane exchange): at least 2 x-planes per shard."""
     if geom.ncells[0] % n_shards:
         return False
     ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    if geom.dim >= 3:
+        return ngx // n_shards >= 2
     NCg = ngx * ngy * ngz
     return NCg // n_shards > halo_mod.max_flat_offset(geom)
 
@@ -1010,6 +1084,10 @@ def pass_a_sharded(
     (comm_brick.cpp:460); there is no reverse exchange because pair sums
     are full-neighbor (newton off).
     """
+    if geom.dim >= 3:
+        return _pass_a_tiled3d_sharded(
+            pf, params, geom, cfg, mesh, axis, interpret=interpret
+        )
     if rowloop is None:
         rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap

@@ -60,6 +60,7 @@ def compute_reference(
     out = dict(
         num_den=np.zeros(n), rhoAux1=np.zeros(n), rhoAux2=np.zeros(n),
         ddv=np.zeros((n, 3)), ddx=np.zeros((n, 3)), f=np.zeros((n, 3)),
+        vir=np.zeros(n),
         drho=np.zeros(n), de=np.zeros(n), phi=np.zeros(n),
         nw=np.zeros((n, 3)), Q=np.zeros((n, ns)), dS=np.zeros((n, 3, 3)),
         vws=np.zeros((n, 3)), aws=np.zeros((n, 3)),
@@ -120,7 +121,10 @@ def compute_reference(
             xdotAS = mi * mj * wfd * (wf / wdelta) ** 4 * (dx @ (AS[i] + AS[j]))
 
             if not solid[i]:
-                out["f"][i] += -dx * fpair + fvisc * velvec + ftrans + xdotAS
+                f_pair = -dx * fpair + fvisc * velvec + ftrans + xdotAS
+                out["f"][i] += f_pair
+                # pairwise virial r_ij . f_ij (Pair::ev_tally v_tally analog)
+                out["vir"][i] += dx @ f_pair
             else:
                 xdotDev = (
                     mi * mj * wfd
@@ -135,7 +139,9 @@ def compute_reference(
                     )
                 else:
                     fviscs = 0.0
-                out["f"][i] += -dx * fpair - dx * fviscs + xdotDev + xdotAS
+                f_pair = -dx * fpair - dx * fviscs + xdotDev + xdotAS
+                out["f"][i] += f_pair
+                out["vir"][i] += dx @ f_pair
 
             # Jaumann rate for solid i
             if solid[i]:

@@ -267,3 +267,20 @@ def test_pass_a_sharded_species_fully_periodic():
         pf, params, geom, cfg, mesh, block=128, interpret=True
     )
     _assert_accs_match(state, params, geom, cfg, acc)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_pass_a_sharded_3d_plane_exchange():
+    """The tiled 3D kernel under shard_map: one x-plane exchanged per side
+    (the 3D brick ghost exchange; y/z are local by construction)."""
+    from sph_bvf_tpu.models import lid_cavity3d
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    state, params, spec, _ = lid_cavity3d.build(N=6)
+    state = setup(state, params, spec, dt=1e-4)
+    geom, cfg = spec.geom, spec.pair
+    assert geom.ncells[0] % 2 == 0, geom.ncells
+    mesh = make_mesh(2)
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_sharded(pf, params, geom, cfg, mesh, interpret=True)
+    _assert_accs_match(state, params, geom, cfg, acc)

@@ -150,3 +150,36 @@ def test_momentum_conservation_compressed_fluid():
     ftot = np.abs(f.sum(axis=(1, 2)))
     fscale = np.abs(f).max()
     assert ftot.max() < 5e-4 * max(fscale, 1e-10), (ftot, fscale)
+
+
+def test_pair_virial_matches_brute_force():
+    """compute_pair_virial (feeds the thermo `press` keyword) against the
+    f64 O(N^2) reference transcription's r_ij . f_ij tally."""
+    from sph_bvf_tpu.ops.pair import compute_pair_virial
+
+    sys = random_system(seed=3)
+    geom, st, params = build_state_params(sys)
+    cfg = PairConfig.transport_velocity(
+        dim=2, solids_present=True, free_solids_present=True
+    )
+    got = compute_pair_virial(st, params, geom, cfg)
+    out = gather_particles(
+        dataclasses.replace(st, f=jnp.zeros_like(st.f)), geom, fields=()
+    )
+    order = np.argsort(out["tag"], kind="stable")
+
+    ref = compute_reference(
+        x=np.concatenate([sys["x"], np.zeros((len(sys["x"]), 1))], axis=1),
+        v=sys["v"], vest=sys["vest"], rho=sys["rho"], rhoI=sys["rhoI"],
+        C=sys["C"], S=sys["S"], ptype=sys["ptype"], solid=sys["solid"],
+        fixed=sys["fixed"], mass=sys["mass"],
+        B=np.asarray(tait_b(sys["c0"], sys["rho0"])), rho0=sys["rho0"],
+        c0=sys["c0"], G0=sys["G0"], cut=sys["cut"], cutc=sys["cutc"],
+        visc=sys["visc"], kappa=sys["kappa"], dim=2,
+        variant="transport_velocity",
+    )
+    valid = np.asarray(st.valid).reshape(-1)
+    tags = np.asarray(st.tag).reshape(-1)[valid]
+    vir = np.asarray(got).reshape(-1)[valid]
+    vir = vir[np.argsort(tags, kind="stable")]
+    np.testing.assert_allclose(vir, ref["vir"], rtol=1e-9, atol=1e-12)
