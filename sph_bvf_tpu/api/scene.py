@@ -604,10 +604,11 @@ class Scene:
             IntegratorConfig, self._pair_variant
         )()
         pair_kwargs = dict(self._pair_kwargs)
-        # sweep 3 (vws/aws) is consumed only by the plain-bvf and zhang
-        # integrators' moving-wall reflections
+        # sweep 3 (vws/aws) is consumed only by the plain-bvf-family and
+        # zhang integrators' moving-wall reflections
         pair_kwargs.setdefault(
-            "weighted_solid", integ.variant in ("bvf", "zhang")
+            "weighted_solid",
+            integ.variant in ("bvf", "artificial_stress", "zhang"),
         )
         pair_kwargs.setdefault("free_solids_present", free_solids)
         pair_cfg = getattr(PairConfig, self._pair_variant)(

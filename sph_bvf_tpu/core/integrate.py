@@ -40,6 +40,7 @@ TRANSPORT_VELOCITY = "transport_velocity"
 MECHANICS = "mechanics"
 FSI = "fsi"
 BVF = "bvf"
+ARTIFICIAL_STRESS = "artificial_stress"
 ZHANG = "zhang"
 STATIONARY = "stationary"
 
@@ -88,10 +89,18 @@ class IntegratorConfig:
 
     @staticmethod
     def artificial_stress(**kw):
-        """fix ssa_tsdpd/bvf/artificialStress — historical near-duplicate of
-        the plain bvf Verlet scheme (fix_ssa_tsdpd_bvf_artificial_stress.cpp;
-        diffs are formatting-level, bounce-back at :298,344)."""
-        return IntegratorConfig(variant=BVF, **kw)
+        """fix ssa_tsdpd/bvf/artificialStress — the plain bvf Verlet scheme
+        but with phi/nw/v_weighted_solid/a_weighted_solid NORMALIZED by
+        number_density before the phi>0.5 gate and the wall reflections
+        (fix_ssa_tsdpd_bvf_artificial_stress.cpp:276-287 normalize,
+        :296-344 reflections).  NOT an alias of bvf: plain bvf uses the raw
+        accumulators (fix_ssa_tsdpd_bvf.cpp:272-293), which shifts the gate
+        and scales the moving-wall velocity terms.  The reference also
+        normalizes in initial_integrate (:146-157), but those values are
+        zeroed by force_clear before the pair sweep refills them and
+        nothing reads them in between (verlet.cpp:240-353 stage order), so
+        only the final-half normalization is observable and implemented."""
+        return IntegratorConfig(variant=ARTIFICIAL_STRESS, **kw)
 
     @staticmethod
     def zhang(**kw):
@@ -164,9 +173,11 @@ def initial_integrate(state: State, params: Params, cfg: IntegratorConfig) -> St
     ff = free_fluid[None]
     fs = free_solid[None]
 
-    if cfg.variant == BVF:
+    if cfg.variant in (BVF, ARTIFICIAL_STRESS):
         # fix_ssa_tsdpd_bvf.cpp:145-199: one scheme for all free particles,
         # and fixed FLUID particles still integrate (reference behavior).
+        # artificialStress shares this half verbatim (its :146-157
+        # normalization is dead — see the factory docstring).
         moving = (free_fluid | free_solid | fixed_fluid)[None]
         vest = jnp.where(moving, state.v + 2.0 * dtfm * state.f, state.vest)
         v = jnp.where(moving, state.v + dtfm * state.f, state.v)
@@ -280,10 +291,11 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
 
     free_fluid, free_solid, fixed_fluid, fixed_solid = _masks(state)
 
-    if cfg.variant == BVF:
+    if cfg.variant in (BVF, ARTIFICIAL_STRESS):
         return _final_integrate_bvf(
             state, params, cfg, dtv, dtf, dtfm,
             free_fluid, free_solid, fixed_fluid, fixed_solid,
+            normalize=(cfg.variant == ARTIFICIAL_STRESS),
         )
 
     if cfg.variant == ZHANG:
@@ -360,6 +372,7 @@ def final_integrate(state: State, params: Params, cfg: IntegratorConfig) -> Stat
 def _final_integrate_bvf(
     state, params, cfg, dtv, dtf, dtfm,
     free_fluid, free_solid, fixed_fluid, fixed_solid,
+    normalize=False,
 ):
     """fix_ssa_tsdpd_bvf.cpp:218-358 — plain Verlet + moving-wall reflection.
 
@@ -367,7 +380,22 @@ def _final_integrate_bvf(
     solid velocity/acceleration enter the reflection unnormalized (:276-292);
     fixed fluids keep integrating v and x (:307-317, reference behavior); and
     there is no position rewind in the bounce-back.
+
+    With ``normalize`` (the artificialStress variant,
+    fix_ssa_tsdpd_bvf_artificial_stress.cpp:276-287), phi/nw/vws/aws are
+    divided by number_density first — shifting the phi>0.5 gate and the
+    moving-wall velocity/acceleration terms — and the normalized values
+    persist for computes/dumps, as the reference mutates them in place.
     """
+    if normalize:
+        nden = jnp.maximum(state.num_den, 1e-30)
+        phi = state.phi / nden
+        nw = state.nw / nden[None]
+        vws = state.vws / nden[None]
+        aws = state.aws / nden[None]
+    else:
+        phi, nw, vws, aws = state.phi, state.nw, state.vws, state.aws
+
     # free particles: v += dtfm f (:264-267); fixed fluid too (:309-317)
     moving = free_fluid | free_solid | fixed_fluid
     v = state.v + jnp.where(moving[None], dtfm * state.f, 0.0)
@@ -375,16 +403,16 @@ def _final_integrate_bvf(
     x = state.x + jnp.where(fixed_fluid[None], dtf * v, 0.0)
 
     # reflection for free fluid (moving-wall terms, :276-292)
-    gate_free = free_fluid & (state.phi > 0.5)
-    norm = jnp.sqrt(jnp.sum(state.nw * state.nw, axis=0, keepdims=True))
-    en = -state.nw / jnp.maximum(norm, 1e-30)
+    gate_free = free_fluid & (phi > 0.5)
+    norm = jnp.sqrt(jnp.sum(nw * nw, axis=0, keepdims=True))
+    en = -nw / jnp.maximum(norm, 1e-30)
     v_dot_en = jnp.sum(v * en, axis=0, keepdims=True)
     v_ref_free = (
-        2.0 * state.vws + state.aws * dtv - v
+        2.0 * vws + aws * dtv - v
         + 2.0 * jnp.maximum(0.0, v_dot_en) * en
     )
     # reflection for fixed fluid (stationary-wall form, :330-336)
-    gate_fixed = fixed_fluid & (state.phi > 0.5)
+    gate_fixed = fixed_fluid & (phi > 0.5)
     v_ref_fixed = -v + 2.0 * jnp.maximum(0.0, v_dot_en) * en
 
     v = jnp.where(gate_free[None], v_ref_free, v)
@@ -393,6 +421,7 @@ def _final_integrate_bvf(
     S_mask = (free_solid | fixed_solid)[None, None]
     S = state.S + jnp.where(S_mask, dtf * state.dS, 0.0)
     rho = state.rho + dtf * state.drho  # :358
+    persist = dict(phi=phi, nw=nw, vws=vws, aws=aws) if normalize else {}
     return dataclasses.replace(
         state,
         v=v,
@@ -401,6 +430,7 @@ def _final_integrate_bvf(
         rho=jnp.where(state.valid, rho, 1.0),
         C=_clamped_species_halfstep(state, dtf),
         Cd=_clamped_ssa(state),
+        **persist,
     )
 
 

@@ -196,6 +196,11 @@ class Params:
     kappa_ssa: jax.Array  # [T, T, Nssa]
     boltz: float = dataclasses.field(default=1.3806504e-23, metadata=dict(static=True))
     ftm2v: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    # KE unit conversion used by temp/press diagnostics.  LAMMPS keeps it
+    # distinct from ftm2v (update.cpp:192: si/lj/micro have both = 1, but
+    # e.g. "real" units differ) — compute_temp.cpp / compute_pressure.cpp
+    # scale sum(m v^2) by mvv2e, never ftm2v.
+    mvv2e: float = dataclasses.field(default=1.0, metadata=dict(static=True))
 
     @property
     def ntypes(self) -> int:

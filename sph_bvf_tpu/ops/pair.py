@@ -40,7 +40,9 @@ unaffected.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from sph_bvf_tpu.ops import rand
@@ -612,6 +614,7 @@ def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, ste
     return jnp.stack(comps, axis=0)
 
 
+@partial(jax.jit, static_argnames=("geom", "cfg"))
 def compute_pair_virial(state: State, params: Params, geom: Geometry,
                         cfg: PairConfig):
     """Per-particle pairwise virial sum_j r_ij . f_ij as [cap, NC].
@@ -658,6 +661,7 @@ def compute_pair_virial(state: State, params: Params, geom: Geometry,
     return jnp.where(state.valid, acc["vir"], 0.0)
 
 
+@partial(jax.jit, static_argnames=("geom", "cfg"))
 def compute_ssa_mu_max(state: State, params: Params, geom: Geometry,
                        cfg: PairConfig):
     """Max per-directed-pair hop mean mu = kappaSSA * (-dQc_base) * Cd * dt.
@@ -667,6 +671,8 @@ def compute_ssa_mu_max(state: State, params: Params, geom: Geometry,
     the reference's sequential Gillespie has no such regime limit.  This
     diagnostic runs at check cadence (core/stepper.simulate) so a user with
     too large a dt gets a loud warning instead of silently clipped tails.
+    Jitted (one compiled program per shape): an eager stencil loop through
+    a tunneled TPU backend would dispatch hundreds of ~1s ops.
     """
     if params.n_ssa == 0:
         return jnp.zeros((), state.x.dtype)

@@ -547,6 +547,14 @@ def _call_padded(
                 occmax,
                 jnp.maximum(jnp.roll(occmax, 1), jnp.roll(occmax, -1)),
             )
+            # Block 0's left halo holds the last max_off REAL lanes
+            # (assemble_padded wrap places M[NC-BLK:] there); when
+            # NC_lanes % BLK < max_off those source lanes straddle past
+            # block grid-1 into grid-2, which the block-roll alone never
+            # folds into occ3[0] — bound it from the actual source lanes
+            # so the j-tile loop cannot under-run the wrap seam.
+            mo = min(halo_mod.max_flat_offset(geom), NC_lanes)
+            occ3 = occ3.at[0].max(jnp.max(occ[NC_lanes - mo:]))
         else:
             z = jnp.zeros((1,), occmax.dtype)
             occ3 = jnp.maximum(

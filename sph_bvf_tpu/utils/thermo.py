@@ -19,7 +19,9 @@ integrates it).
 from __future__ import annotations
 
 import time
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,11 +31,13 @@ class StopSimulation(RuntimeError):
     the graceful analog of fix halt (fix_halt.cpp)."""
 
 
-def thermo_row(state, params, dim: int = 2, geom=None, pair_cfg=None):
-    """Global diagnostics computed on device; returns small dict of floats.
+@partial(jax.jit, static_argnames=("dim", "geom", "pair_cfg"))
+def _thermo_device(state, params, dim, geom, pair_cfg):
+    """All device-side thermo reductions as ONE compiled program.
 
-    With ``geom`` and ``pair_cfg`` supplied, ``press`` is the true virial
-    pressure (compute_pressure.cpp); otherwise the mean Tait pressure.
+    Eager per-op dispatch through a tunneled TPU backend costs ~1s/op, so
+    a thermo row must be a single dispatch + one bulk readback — including
+    the stencil-loop virial, which would otherwise stall for minutes.
     """
     from sph_bvf_tpu.ops.eos import tait_pressure
 
@@ -54,25 +58,41 @@ def thermo_row(state, params, dim: int = 2, geom=None, pair_cfg=None):
         for ax in range(dim):
             vol *= geom.hi[ax] - geom.lo[ax]
         # compute_pressure.cpp scalar: (sum m v^2 * mvv2e + virial)/(dim V)
-        press = (mvsq * params.ftm2v + vir) / (dim * vol)
+        press = (mvsq * params.mvv2e + vir) / (dim * vol)
     else:
         press = press_tait
     # compute_temp.cpp: dof = dim*N - extra_dof, extra_dof = dim
     dof = jnp.maximum(dim * n - dim, 1).astype(ke.dtype)
-    temp = mvsq * params.ftm2v / (dof * params.boltz)
+    temp = mvsq * params.mvv2e / (dof * params.boltz)
     return dict(
-        step=int(state.step),
-        dt=float(state.dt),
-        n=int(n),
-        vmax=float(jnp.sqrt(jnp.max(vsq))),
-        ke=float(ke),
-        etotal=float(ke),
-        press=float(press),
-        press_tait=float(press_tait),
-        temp=float(temp),
-        rho_min=float(jnp.nanmin(rho)),
-        rho_max=float(jnp.nanmax(rho)),
-        overflow=int(state.overflow),
+        step=state.step, dt=state.dt, n=n,
+        vmax=jnp.sqrt(jnp.max(vsq)), ke=ke, press=press,
+        press_tait=press_tait, temp=temp,
+        rho_min=jnp.nanmin(rho), rho_max=jnp.nanmax(rho),
+        overflow=state.overflow,
+    )
+
+
+def thermo_row(state, params, dim: int = 2, geom=None, pair_cfg=None):
+    """Global diagnostics computed on device; returns small dict of floats.
+
+    With ``geom`` and ``pair_cfg`` supplied, ``press`` is the true virial
+    pressure (compute_pressure.cpp); otherwise the mean Tait pressure.
+    """
+    d = jax.device_get(_thermo_device(state, params, dim, geom, pair_cfg))
+    return dict(
+        step=int(d["step"]),
+        dt=float(d["dt"]),
+        n=int(d["n"]),
+        vmax=float(d["vmax"]),
+        ke=float(d["ke"]),
+        etotal=float(d["ke"]),
+        press=float(d["press"]),
+        press_tait=float(d["press_tait"]),
+        temp=float(d["temp"]),
+        rho_min=float(d["rho_min"]),
+        rho_max=float(d["rho_max"]),
+        overflow=int(d["overflow"]),
     )
 
 

@@ -70,7 +70,8 @@ def test_checkpoint_geometry_mismatch(tmp_path):
 
 
 def test_integrator_aliases():
-    assert IntegratorConfig.artificial_stress().variant == "bvf"
+    # real variants, not aliases (round-1 zhang / round-2 artificialStress)
+    assert IntegratorConfig.artificial_stress().variant == "artificial_stress"
     assert IntegratorConfig.zhang().variant == "zhang"
 
 

@@ -256,6 +256,51 @@ def _bvf_final(s, acc, dt):
         s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]  # :358
 
 
+def _artificial_stress_final(s, acc, dt):
+    """fix_ssa_tsdpd_bvf_artificial_stress.cpp:269-380 (scalar transcription).
+
+    Identical to the plain-bvf final half EXCEPT phi/nw/vws/aws are divided
+    by number_density before the gate and reflections (:276-287) — the diff
+    vs fix_ssa_tsdpd_bvf.cpp is exactly that block (plus dtf-vs-0.5*dtv
+    spelling of the deviatoric step, equal at ftm2v=1).
+    """
+    dtf = 0.5 * dt
+    n = s["x"].shape[0]
+    for i in range(n):
+        dtfm = dtf / s["m"][i]
+        nden = max(acc["num_den"][i], 1e-30)
+        phi = acc["phi"][i] / nden  # :278
+        nw = acc["nw"][i] / nden  # :279-281
+        vws = acc["vws"][i] / nden  # :282-284
+        aws = acc["aws"][i] / nden  # :285-287
+        if not s["fixed"][i]:
+            s["v"][i] = s["v"][i] + dtfm * acc["f"][i]  # :292-295
+            if not s["solid"][i]:
+                if phi > 0.5:  # :297-317 moving-wall, NORMALIZED vws/aws
+                    norm = np.sqrt(np.sum(nw * nw))
+                    en = -nw / max(norm, 1e-30)
+                    vdot = float(np.dot(s["v"][i], en))
+                    s["v"][i] = (
+                        2.0 * vws + aws * dt - s["v"][i]
+                        + 2.0 * max(0.0, vdot) * en
+                    )
+            else:  # :320-326
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+        else:
+            if not s["solid"][i]:  # fixed fluid :331-358
+                s["v"][i] = s["v"][i] + dtfm * acc["f"][i]
+                s["x"][i] = s["x"][i] + dtf * s["v"][i]
+                if phi > 0.5:
+                    norm = np.sqrt(np.sum(nw * nw))
+                    en = -nw / max(norm, 1e-30)
+                    vdot = float(np.dot(s["v"][i], en))
+                    s["v"][i] = -s["v"][i] + 2.0 * max(0.0, vdot) * en
+            else:  # :361-366
+                s["S"][i] = s["S"][i] + dtf * acc["dS"][i]
+        s["C"][i] = np.maximum(s["C"][i] + acc["Q"][i] * dtf, 0.0)  # :370-373
+        s["rho"][i] = s["rho"][i] + dtf * acc["drho"][i]  # :379
+
+
 def _stationary_step(s, acc, dt):
     """fix_ssa_tsdpd_stationary.cpp:74-133: both halves advance rho and C
     only; x, v, vest, S never move."""
@@ -327,6 +372,30 @@ def test_zhang_matches_reference_transcription():
 
 def test_bvf_matches_reference_transcription():
     _compare_variant("bvf", _bvf_initial, _bvf_final)
+
+
+def test_artificial_stress_matches_reference_transcription():
+    _compare_variant(
+        "artificial_stress", _bvf_initial, _artificial_stress_final
+    )
+
+
+def test_artificial_stress_differs_from_bvf():
+    """The round-2 alias bug: artificialStress must NOT equal plain bvf —
+    the normalized phi gate and normalized vws/aws reflection terms change
+    the dynamics wherever walls are felt."""
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    st0 = dataclasses.replace(st0, dt=jnp.asarray(1e-3, jnp.float64))
+    pair_cfg = PairConfig.transport_velocity(dim=2, weighted_solid=True)
+    a = _run_framework(st0, params, geom, pair_cfg,
+                       IntegratorConfig.artificial_stress(), 3)
+    b = _run_framework(st0, params, geom, pair_cfg,
+                       IntegratorConfig.bvf(), 3)
+    assert a is not None and b is not None
+    ga = gather_particles(a, geom, fields=("v",))["v"]
+    gb = gather_particles(b, geom, fields=("v",))["v"]
+    assert np.abs(ga - gb).max() > 1e-8
 
 
 def test_zhang_differs_from_transport_velocity():

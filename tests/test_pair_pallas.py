@@ -79,6 +79,99 @@ def test_kernel_handles_species(cavity):
         assert err <= 5e-6 * scale, (name, err, scale)
 
 
+def test_rowloop_wrap_seam_occupancy():
+    """Regression: periodic-x rowloop j-gating at the wrap seam.
+
+    Block 0's left halo holds the last ``max_off`` REAL lanes of the flat
+    cell axis (halo.assemble_padded wrap).  When ``NCg % BLK < max_off``
+    those source lanes straddle past block grid-1 into block grid-2, whose
+    occupancy the block-rolled occ3 bound never folds into occ3[0] — the
+    j-tile loop then terminates early and silently drops pair interactions
+    across the periodic seam.  Crowd exactly one straddling cell well past
+    one j-tile (occ 14 > TI=8) while every other cell holds one particle,
+    and require the kernel to match the jnp path.
+    """
+    import sph_bvf_tpu.core.halo as halo_mod
+    import sph_bvf_tpu.core.state as S
+    from sph_bvf_tpu.ops.eos import tait_b
+    from sph_bvf_tpu.ops.pair_pallas import _default_rowloop, _kernel_block
+
+    geom = S.Geometry.build(
+        dim=2, lo=(0.0, 0.0, 0.0), hi=(45.0, 20.0, 1.0), cutoff=1.0,
+        cap=16, periodic=(True, False, False),
+    )
+    assert geom.ncells == (45, 20, 1)
+    NCg = 45 * 20  # y is not periodic: no ghost columns
+    BLK = _kernel_block(geom, 128)
+    max_off = halo_mod.max_flat_offset(geom)
+    assert 0 < NCg % BLK < max_off, (NCg, BLK, max_off)
+    assert _default_rowloop(geom)  # base_occ == 0 -> rowloop shape
+
+    # one particle per cell center...
+    grid_x, grid_y = np.meshgrid(np.arange(45) + 0.5, np.arange(20) + 0.5)
+    x = np.stack([grid_x.ravel(), grid_y.ravel()], axis=1)
+    # ...plus 13 extra crammed into cell (44, 3): flat lane 883 lies in
+    # block grid-2 AND in the wrap-source window [NCg - max_off, NCg)
+    lane = 44 * 20 + 3
+    assert NCg - max_off <= lane < (NCg // BLK - 1) * BLK + BLK
+    assert lane < ((NCg + BLK - 1) // BLK - 1) * BLK  # strictly before last block
+    rng = np.random.default_rng(7)
+    extra = np.stack(
+        [44.05 + 0.9 * rng.random(13), 3.05 + 0.9 * rng.random(13)], axis=1
+    )
+    x = np.concatenate([x, extra])
+
+    state = S.state_from_particles(
+        geom, x, np.zeros(len(x), np.int64), dtype=jnp.float32
+    )
+    n = len(x)
+    v = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    v[:, 2] = 0.0
+    state = S.scatter_by_tag(
+        state,
+        v=v,
+        vest=v,
+        rho=np.full(n, 1.0, np.float32),
+        rhoI=np.full(n, 1.0, np.float32),
+    )
+    state = dataclasses.replace(
+        state,
+        rho=jnp.where(state.valid, state.rho, 1.0),
+        rhoI=jnp.where(state.valid, state.rhoI, 1.0),
+        dt=jnp.asarray(1e-4, jnp.float32),
+    )
+    from sph_bvf_tpu.core.state import Params
+
+    one = jnp.ones((1,), jnp.float32)
+    params = Params(
+        mass=one, rho0=one, c0=10.0 * one,
+        B=jnp.asarray(tait_b(10.0 * np.ones(1), np.ones(1)), jnp.float32),
+        G0=0.0 * one,
+        cut=jnp.ones((1, 1), jnp.float32),
+        cutc=jnp.ones((1, 1), jnp.float32),
+        visc=0.1 * jnp.ones((1, 1), jnp.float32),
+        kappa=jnp.zeros((1, 1, 0), jnp.float32),
+        kappa_ssa=jnp.zeros((1, 1, 0), jnp.float32),
+    )
+    cfg = PairConfig.transport_velocity(
+        dim=2, solids_present=False, elastic_present=False,
+        free_solids_present=False, weighted_solid=False,
+    )
+    ref = compute_forces(
+        state, params, geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, geom, cfg, block=128, interpret=True)
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
+
+
 def test_kernel_3d_rowloop_matches_jnp_path():
     """3D uses the fori_loop-over-i-rows kernel shape (27 offsets); the
     trip count comes from per-block max occupancy, so empty high slots are
