@@ -12,13 +12,13 @@ reference's reverse_comm (comm_brick.cpp:527) by construction.
 Particle migration (exchange, comm_brick.cpp:585) is the rebin scatter — a
 cross-shard scatter only at chunk boundaries.
 
-Known integration point for real multi-chip runs: the Pallas kernels
-(ops/pair_pallas.py, core/rebin_pallas.py) are single-device programs —
-GSPMD cannot partition a pallas_call, so the sharded step must either run
-the jnp path (what the virtual-CPU dryrun exercises) or wrap the kernels in
-`shard_map` with one-cell-slab halo exchange via `lax.ppermute` before the
-call.  The shard_map wrapper is the planned path once multi-chip hardware
-is available; the physics underneath is identical either way.
+The Pallas kernels are single-device programs GSPMD cannot partition, so
+sharded runs route them through `shard_map` wrappers with `max_off`-wide
+edge-slab halo exchange via `lax.ppermute`
+(ops/pair_pallas.pass_a_sharded, core/rebin_pallas.move_pallas_sharded;
+selected by core/stepper when ModelSpec.mesh is set).  Stages without a
+kernel shard via GSPMD over the same mesh; the jnp fallback path remains
+the executable spec either way.
 """
 
 from __future__ import annotations

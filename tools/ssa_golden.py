@@ -185,9 +185,11 @@ def main():
     # both implementations clamp Cd at 0 after applying the hop deltas
     # (fix...transport_velocity.cpp:417 / core/integrate._clamped_ssa), so a
     # voxel overdrawn within one dt creates a molecule on either side —
-    # allow that rare shared artifact, not a systematic leak
-    assert all(abs(t - total0) <= 5 for t in cpp_totals), "C++ lost molecules"
-    assert all(abs(t - total0) <= 5 for t in our_totals), "ours lost molecules"
+    # allow that rare shared artifact (measured: up to ~1e-4 of the total
+    # per run on the C++ side), not a systematic leak
+    tol = max(5, int(5e-4 * total0))
+    assert all(abs(t - total0) <= tol for t in cpp_totals), "C++ lost molecules"
+    assert all(abs(t - total0) <= tol for t in our_totals), "ours lost molecules"
     assert z.max() < 4.0, "mean Cd profiles disagree beyond sampling error"
     print("PASS")
 
