@@ -77,11 +77,6 @@ def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
     the speciesless state's row count)."""
     if dtype != jnp.float32:
         return False
-    if geom.dim >= 3:
-        # 3^dim * cap candidate crossbars exceed Mosaic's compile budget
-        # in 3D (same limitation as the pass-A kernel — see
-        # ops/pair_pallas.py pallas_eligible)
-        return False
     # below ~3k cells the jnp sort pipeline is already cheap and the
     # kernel's fixed per-candidate crossbar cost loses (measured crossover
     # between NC=1.3k and 4.8k on v5e; 3.7x ahead by NC=113k)
@@ -91,6 +86,15 @@ def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
     # window twice (real + wrapped) -> the crossbar would duplicate
     if any(p and 1 < n < 3 for p, n in zip(geom.periodic, geom.ncells)):
         return False
+    if geom.dim >= 3:
+        # tiled-plane kernel (see _move_call_tiled3d): 18 plane/yz-block
+        # refs double-buffered + the 3x3-window staging, with the
+        # per-plane yz lane block (constant in grid size)
+        capk = _round_up(geom.cap, 8)
+        ngz = halo_mod.ghosted_ncells(geom)[2]
+        blk = max(256, _round_up(ngz + 2, 128))
+        vmem = (2 * 18 * n_rows + 3 * 3 * n_rows) * capk * blk * 4
+        return vmem <= 90 * 1024 * 1024
     # the six [F, cap, BLK] halo blocks + two outputs are double-buffered in
     # VMEM; BLK scales with the x-stride (ny*nz), so tall/deep grids can
     # exceed the 100MB vmem budget — route those to the jnp sort path
@@ -273,6 +277,323 @@ def _move_call(
     )(gb, PFp, PFp, PFp, PIp, PIp, PIp)
 
 
+def _move_call_tiled3d(
+    PF4p: jax.Array,
+    PI4p: jax.Array,
+    occ9: jax.Array,
+    geom,
+    xr: int,
+    n_planes: int,
+    BLK: int,
+    x_base,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """The 3D rebin move on the tiled (x-plane, yz-block) grid.
+
+    Mirrors ops/pair_pallas._call_tiled3d: the flat-lane halo would need
+    BLK >= the x-stride (~n^2 in 3D), so the x stencil direction becomes a
+    3x3 set of plane/yz-block refs and y/z remain lane offsets.  The
+    candidate walk is slot-row-major then flat-offset ascending (the 2D
+    kernel's order), occupancy-gated in sublane tiles of 8 rows: the slot
+    fori_loop trips ceil(occ9/8) times, and each tile stages its 27 offset
+    windows once, then runs the 8 rows' crossbars against them.
+
+    ``PF4p``/``PI4p``: [F, n_planes + 2, capk, NYZ_pad + 2*BLK] from
+    halo.assemble_tiled, plane axis transposed out of the trailing dims.
+    ``occ9``: i32 [n_planes * n_yb] — max occupancy over each block's 3x3
+    plane/yz-block neighborhood (any cell a window can read).
+    ``x_base``: i32 [1] global plane offset of this shard (0 single-device)
+    for the global-cell-id match under shard_map.
+    """
+    import numpy as np
+
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    NYZ = ngy * ngz
+    NYZ_pad = PF4p.shape[-1] - 2 * BLK
+    n_yb = NYZ_pad // BLK
+    capk = PF4p.shape[2]
+    Ff, Fi = PF4p.shape[0], PI4p.shape[0]
+    ga = halo_mod.ghost_axes(geom)
+    TI = min(8, capk)
+
+    offs = sorted(
+        (off[0] * NYZ + off[1] * ngz + off[2], off)
+        for off in geom.stencil_offsets()
+    )
+
+    lo = tuple(float(v) for v in geom.lo)
+    inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
+
+    def kernel(*refs):
+        pre_refs, rest = refs[:2], refs[2:]
+        occ_ref, xb_ref = pre_refs
+        f_refs = rest[0:9]
+        i_refs = rest[9:18]
+        outf_ref, outi_ref = rest[18], rest[19]
+        bx = pl.program_id(0)
+        by = pl.program_id(1)
+
+        # stage the 3 x-planes' 3-yz-block windows
+        bufs_f = [
+            jnp.concatenate(
+                [f_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)], axis=-1
+            )
+            for dx in range(3)
+        ]
+        bufs_i = [
+            jnp.concatenate(
+                [i_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)], axis=-1
+            )
+            for dx in range(3)
+        ]
+
+        l = by * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        cz = l % ngz
+        cy = l // ngz  # within-plane y (>= ngy on yz pad lanes)
+        gx = xb_ref[0] + bx
+        # global ghosted flat cell id of this lane; the NYZ_pad tail lanes
+        # (l >= NYZ) would alias the next plane's leading cells, so they
+        # are masked out of the match below
+        g = gx * NYZ + l
+        lane_ok = l < NYZ
+
+        accF = jnp.zeros((Ff, capk, BLK), jnp.float32)
+        accI = jnp.zeros((Fi, capk, BLK), jnp.int32)
+        cnt = jnp.zeros((1, BLK), jnp.int32)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (capk, 1), 0)
+
+        def tile_body(t, carry):
+            accF, accI, cnt = carry
+            s0 = t * TI
+            tiles_f = [
+                jax.lax.dynamic_slice(
+                    bufs_f[off[0] + 1],
+                    (0, s0, BLK + off_flat - off[0] * NYZ),
+                    (Ff, TI, BLK),
+                )
+                for off_flat, off in offs
+            ]
+            tiles_i = [
+                jax.lax.dynamic_slice(
+                    bufs_i[off[0] + 1],
+                    (0, s0, BLK + off_flat - off[0] * NYZ),
+                    (Fi, TI, BLK),
+                )
+                for off_flat, off in offs
+            ]
+            for r in range(TI):
+                for k, (off_flat, off) in enumerate(offs):
+                    cf = tiles_f[k][:, r : r + 1, :]  # [Ff, 1, BLK]
+                    ci_ = tiles_i[k][:, r : r + 1, :]
+                    vj = ci_[0] != 0  # [1, BLK]
+                    vj = vj & lane_ok
+                    for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
+                        if o != 0:
+                            vj = vj & (c + o >= 0) & (c + o < n)
+                    # candidate's new GLOBAL ghosted flat cell id from its
+                    # wrapped position (same arithmetic as the 2D kernel)
+                    ncell = jnp.zeros((1, BLK), jnp.int32)
+                    for ax, (s, n) in enumerate(
+                        ((NYZ, geom.ncells[0]), (ngz, geom.ncells[1]),
+                         (1, geom.ncells[2]))
+                    ):
+                        if n == 1:
+                            continue
+                        xa = cf[xr + ax]
+                        c2 = jnp.floor(
+                            (xa - lo[ax]) * inv[ax]
+                        ).astype(jnp.int32)
+                        if geom.periodic[ax]:
+                            c2 = jnp.remainder(c2, n)
+                        else:
+                            c2 = jnp.clip(c2, 0, n - 1)
+                        if ax in ga:
+                            c2 = c2 + 1
+                        ncell = ncell + c2 * s
+                    match = vj & (ncell == g)
+                    sel = match & (cnt == iota_s)  # [capk, BLK]
+                    accF = jnp.where(sel[None], cf, accF)
+                    accI = jnp.where(sel[None], ci_, accI)
+                    cnt = cnt + match.astype(jnp.int32)
+            return accF, accI, cnt
+
+        trips = (occ_ref[bx * n_yb + by] + TI - 1) // TI
+        accF, accI, _ = jax.lax.fori_loop(
+            0, trips, tile_body, (accF, accI, cnt)
+        )
+        outf_ref[...] = accF.reshape(Ff, 1, capk, BLK)
+        outi_ref[...] = accI.reshape(Fi, 1, capk, BLK)
+
+    def plane_specs(F):
+        return [
+            pl.BlockSpec(
+                (F, 1, capk, BLK),
+                (lambda dx, dy: lambda bx, by, *_: (0, bx + dx, 0, by + dy))(
+                    dx, dy
+                ),
+                memory_space=pltpu.VMEM,
+            )
+            for dx in range(3)
+            for dy in range(3)
+        ]
+
+    out_specs = [
+        pl.BlockSpec((Ff, 1, capk, BLK), lambda bx, by, *_: (0, bx, 0, by),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Fi, 1, capk, BLK), lambda bx, by, *_: (0, bx, 0, by),
+                     memory_space=pltpu.VMEM),
+    ]
+    xb = jnp.asarray(x_base, jnp.int32).reshape(1)
+    outf, outi = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_planes, n_yb),
+            in_specs=plane_specs(Ff) + plane_specs(Fi),
+            out_specs=out_specs,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Ff, n_planes, capk, NYZ_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Fi, n_planes, capk, NYZ_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(occ9, xb, *([PF4p] * 9), *([PI4p] * 9))
+    return outf, outi
+
+
+def _move_tiled3d(
+    PF, PI, geom, xr: int, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-device driver: assemble tiled buffers, run, reassemble.
+
+    ``PF``/``PI`` are the packed (un-ghosted) [F, cap, NC] matrices;
+    returns trimmed [F, cap, NC] outputs.
+    """
+    cap = geom.cap
+    ngz2 = halo_mod.ghosted_ncells(geom)[2]
+    BLK = max(256, _round_up(ngz2 + 2, 128))
+    capk = _round_up(cap, 8)
+
+    PFg = halo_mod.add_ghosts(jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0))), geom)
+    PIg = halo_mod.add_ghosts(jnp.pad(PI, ((0, 0), (0, capk - cap), (0, 0))), geom)
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    NYZ = ngy * ngz
+    NYZ_pad = _round_up(NYZ, BLK)
+    n_yb = NYZ_pad // BLK
+    wrap = halo_mod.wrap_x(geom)
+
+    PF4p = jnp.transpose(
+        halo_mod.assemble_tiled(PFg, geom, BLK, NYZ_pad, wrap), (0, 2, 1, 3)
+    )
+    PI4p = jnp.transpose(
+        halo_mod.assemble_tiled(PIg, geom, BLK, NYZ_pad, wrap), (0, 2, 1, 3)
+    )
+    from sph_bvf_tpu.ops.pair_pallas import _neighborhood_max
+
+    occ = jnp.sum((PIg[0] != 0).astype(jnp.int32), axis=0).reshape(ngx, NYZ)
+    occ = jnp.pad(occ, ((0, 0), (0, NYZ_pad - NYZ)))
+    occmax = jnp.max(occ.reshape(ngx, n_yb, BLK), axis=2)
+    occ9 = _neighborhood_max(occmax, wrap).reshape(-1)
+
+    outf, outi = _move_call_tiled3d(
+        PF4p, PI4p, occ9, geom, xr, ngx, BLK, 0, interpret
+    )
+    outf = jnp.transpose(outf, (0, 2, 1, 3))[:, :cap]
+    outi = jnp.transpose(outi, (0, 2, 1, 3))[:, :cap]
+    outf = outf[..., :NYZ].reshape(outf.shape[0], cap, ngx * NYZ)
+    outi = outi[..., :NYZ].reshape(outi.shape[0], cap, ngx * NYZ)
+    return halo_mod.trim_ghosts(outf, geom), halo_mod.trim_ghosts(outi, geom)
+
+
+def _move_tiled3d_sharded(
+    PF, PI, geom, xr: int, mesh, axis: str, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded tiled-3D move: x-plane slabs per device, one plane of halo
+    exchanged per side via lax.ppermute (mirrors pair_pallas.
+    _pass_a_tiled3d_sharded).  The global-cell-id match key makes
+    cross-shard migration fall out of the exchange, as in 2D.
+    """
+    cap = geom.cap
+    n_shards = mesh.shape[axis]
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    if ngx % n_shards:
+        raise ValueError(
+            f"nx={ngx} does not split into plane slabs over {n_shards} shards"
+        )
+    nx_loc = ngx // n_shards
+    if nx_loc < 2:
+        raise ValueError("need at least 2 x-planes per shard")
+    ngz2 = ngz
+    BLK = max(256, _round_up(ngz2 + 2, 128))
+    capk = _round_up(cap, 8)
+    NYZ = ngy * ngz
+    NYZ_pad = _round_up(NYZ, BLK)
+    n_yb = NYZ_pad // BLK
+    wrap = halo_mod.wrap_x(geom)
+
+    PFg = halo_mod.add_ghosts(
+        jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0))), geom
+    )
+    PIg = halo_mod.add_ghosts(
+        jnp.pad(PI, ((0, 0), (0, capk - cap), (0, 0))), geom
+    )
+
+    from sph_bvf_tpu.ops.pair_pallas import _neighborhood_max
+
+    def local(PFl, PIl):
+        idx = jax.lax.axis_index(axis)
+        fhl, fhr = halo_mod.exchange_slabs(PFl, NYZ, axis, n_shards, wrap)
+        ihl, ihr = halo_mod.exchange_slabs(PIl, NYZ, axis, n_shards, wrap)
+        lead_f, lead_i = PFl.shape[:-1], PIl.shape[:-1]
+        PF4p = jnp.transpose(
+            halo_mod.assemble_tiled(
+                PFl, geom, BLK, NYZ_pad, wrap=False,
+                plane_left=fhl.reshape(lead_f + (1, NYZ)),
+                plane_right=fhr.reshape(lead_f + (1, NYZ)),
+                n_planes=nx_loc,
+            ),
+            (0, 2, 1, 3),
+        )
+        PI4p = jnp.transpose(
+            halo_mod.assemble_tiled(
+                PIl, geom, BLK, NYZ_pad, wrap=False,
+                plane_left=ihl.reshape(lead_i + (1, NYZ)),
+                plane_right=ihr.reshape(lead_i + (1, NYZ)),
+                n_planes=nx_loc,
+            ),
+            (0, 2, 1, 3),
+        )
+        occ = jnp.sum((PIl[0] != 0).astype(jnp.int32), axis=0).reshape(
+            nx_loc, NYZ
+        )
+        occ = jnp.pad(occ, ((0, 0), (0, NYZ_pad - NYZ)))
+        occmax = jnp.max(occ.reshape(nx_loc, n_yb, BLK), axis=2)
+        occ9 = _neighborhood_max(occmax, False)
+        # neighbor-shard planes: occupancy unknown locally — assume full
+        occ9 = occ9.at[0].set(cap).at[-1].set(cap)
+        outf, outi = _move_call_tiled3d(
+            PF4p, PI4p, occ9.reshape(-1), geom, xr, nx_loc, BLK,
+            idx * nx_loc, interpret,
+        )
+        outf = jnp.transpose(outf, (0, 2, 1, 3))[:, :cap]
+        outi = jnp.transpose(outi, (0, 2, 1, 3))[:, :cap]
+        outf = outf[..., :NYZ].reshape(outf.shape[0], cap, nx_loc * NYZ)
+        outi = outi[..., :NYZ].reshape(outi.shape[0], cap, nx_loc * NYZ)
+        return outf, outi
+
+    outf, outi = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis)),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
+        check_vma=False,
+    )(PFg, PIg)
+    return halo_mod.trim_ghosts(outf, geom), halo_mod.trim_ghosts(outi, geom)
+
+
 def _x_row(fmeta) -> int:
     xr = 0
     for name, nrows, _, _ in fmeta:
@@ -292,16 +613,18 @@ def move_pallas(
     outside the one-cell drift ring are zeroed (valid=False) — the caller
     counts them by differencing n_valid.
     """
-    if block <= 0:
-        # 768 measured best in 2D at 1M particles; 3D candidate crossbars
-        # (3^dim * cap iterations) need small blocks to keep Mosaic's
-        # unrolled lowering compileable.
-        block = 768 if geom.dim < 3 else 128
     NC, cap = geom.ncells_total, geom.cap
+    PF, PI, fmeta, imeta = _pack_fields(fields, cap, NC)
+
+    if geom.dim >= 3:
+        outf, outi = _move_tiled3d(PF, PI, geom, _x_row(fmeta), interpret)
+        return _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC)
+
+    if block <= 0:
+        block = 768  # measured best in 2D at 1M particles
     max_off = halo_mod.max_flat_offset(geom)
     BLK = max(block, _round_up(max_off + 1, 128))
 
-    PF, PI, fmeta, imeta = _pack_fields(fields, cap, NC)
     PFg = halo_mod.add_ghosts(PF, geom)
     PIg = halo_mod.add_ghosts(PI, geom)
     NCg = PFg.shape[-1]
@@ -334,19 +657,25 @@ def move_pallas_sharded(
     dropped locally — the migration step of the reference's exchange
     (comm_brick.cpp:585) with no extra communication.
     """
-    if block <= 0:
-        block = 768 if geom.dim < 3 else 128
     NC, cap = geom.ncells_total, geom.cap
     n_shards = mesh.shape[axis]
-    max_off = halo_mod.max_flat_offset(geom)
-    BLK = max(block, _round_up(max_off + 1, 128))
-
     if geom.ncells[0] % n_shards:
         raise ValueError(
             f"nx={geom.ncells[0]} does not split into x-aligned slabs over "
             f"{n_shards} shards (use Scene.ncx_multiple_of)"
         )
     PF, PI, fmeta, imeta = _pack_fields(fields, cap, NC)
+
+    if geom.dim >= 3:
+        outf, outi = _move_tiled3d_sharded(
+            PF, PI, geom, _x_row(fmeta), mesh, axis, interpret
+        )
+        return _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC)
+
+    if block <= 0:
+        block = 768
+    max_off = halo_mod.max_flat_offset(geom)
+    BLK = max(block, _round_up(max_off + 1, 128))
     PFg = halo_mod.add_ghosts(PF, geom)
     PIg = halo_mod.add_ghosts(PI, geom)
     NCg = PFg.shape[-1]

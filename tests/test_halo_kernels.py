@@ -270,6 +270,22 @@ def test_pass_a_sharded_species_fully_periodic():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_rebin_sharded_3d_plane_migration(monkeypatch):
+    """The tiled-3D rebin move under shard_map: drift pushes edge-plane
+    particles across the shard boundary, where only the exchanged halo
+    plane can place them (migration via the global-cell-id match)."""
+    from sph_bvf_tpu.models import lid_cavity3d
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    state, params, spec, _ = lid_cavity3d.build(N=6)
+    state = setup(state, params, spec, dt=1e-4)
+    assert spec.geom.ncells[0] % 2 == 0, spec.geom.ncells
+    state = _drift(state, spec.geom)
+    _compare_rebin(state, spec.geom, monkeypatch,
+                   sharded_mesh=make_mesh(2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
 def test_pass_a_sharded_3d_plane_exchange():
     """The tiled 3D kernel under shard_map: one x-plane exchanged per side
     (the 3D brick ghost exchange; y/z are local by construction)."""

@@ -77,6 +77,34 @@ def test_kernel_matches_with_drop(monkeypatch):
     _assert_states_equal(ref, got)
 
 
+def test_kernel_matches_jnp_rebin_3d(monkeypatch):
+    """The tiled-plane 3D move (rebin_pallas._move_call_tiled3d): same
+    candidate order as 2D — slot-major then flat-offset ascending — so on a
+    non-periodic grid the slot assignment must be IDENTICAL to the jnp
+    sort, in all three axes of drift."""
+    from sph_bvf_tpu.models import lid_cavity3d
+
+    state, params, spec, _ = lid_cavity3d.build(N=8)
+    state = setup(state, params, spec, dt=1e-4)
+    geom = spec.geom
+    assert geom.dim == 3
+    rng = np.random.default_rng(5)
+    dx = rng.uniform(-1.0, 1.0, size=state.x.shape).astype(np.float32)
+    budget = 0.9 * geom.drift_budget
+    assert budget > 0
+    state = dataclasses.replace(
+        state,
+        x=state.x + jnp.where(state.valid, jnp.asarray(dx) * budget, 0.0),
+        v=state.v
+        + jnp.asarray(rng.normal(0, 1e-3, state.v.shape), np.float32),
+    )
+    _force_interpret(monkeypatch)
+    ref = S.rebin(state, geom, use_pallas=False)
+    got = S.rebin(state, geom, use_pallas=True)
+    assert int(ref.overflow) == 0
+    _assert_states_equal(ref, got)
+
+
 def test_kernel_counts_capacity_overflow(monkeypatch):
     """Crowd neighbor columns into one cell (a one-ring move) past cap."""
     state, spec, geom = _drifted_cavity(seed=2, drift_scale=0.2)
