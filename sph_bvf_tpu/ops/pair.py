@@ -825,6 +825,7 @@ def compute_forces(
     if (
         n_shards > 1
         and cfg.use_pallas
+        and not cfg.thermal  # thermal scalars not threaded through shard_map
         and kernel_supported(state, params, geom, cfg)
         and sharded_eligible(geom, n_shards)
     ):
@@ -835,7 +836,11 @@ def compute_forces(
             )
         )
     elif cfg.use_pallas and pallas_eligible(state, params, geom, cfg):
-        acc.update(pass_a_pallas(pf, params, geom, cfg))
+        acc.update(pass_a_pallas(
+            pf, params, geom, cfg,
+            dt=state.dt, step=state.step,
+            seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
+        ))
     else:
         ja_fields = _pass_a_j_fields(params, cfg)
         for off in geom.stencil_offsets():

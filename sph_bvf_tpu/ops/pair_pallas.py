@@ -93,7 +93,7 @@ def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
     and shard_map paths; the latter runs in interpret mode off-TPU)."""
     if state.x.dtype != jnp.float32:
         return False
-    if cfg.thermal or params.n_ssa > 0:
+    if params.n_ssa > 0:
         return False
     # the 3 staged [F, cap, BLK] halo blocks + [A, cap, BLK] output are
     # double-buffered in VMEM; BLK scales with the x-stride (ny*nz), so
@@ -140,6 +140,11 @@ def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
             rows.append(("G0", 1))
     if params.n_sdpd > 0:
         rows.append(("C", params.n_sdpd))
+    if cfg.thermal:
+        # the SDPD random force hashes pair tags and reads e_i; tags stay
+        # exact as f32 below 2^24 particles (ops/rand.py hash converts back
+        # to u32 in-kernel)
+        rows += [("e", 1), ("tag", 1)]
     return rows
 
 
@@ -207,6 +212,30 @@ def _select_table_rows(ti, tj, table_ref, T: int, nsp: int):
     return jnp.stack(comps, axis=0)
 
 
+def _thermal_meta(dt, step, seed) -> jax.Array:
+    """Pack the traced thermal-noise scalars into an i32[3] scalar-prefetch
+    operand: [bitcast(dt), step, seed].  Exact round trip — the kernel
+    bitcasts dt back to f32 and wrap-converts step/seed to u32, so the
+    counter-based noise stream (ops/rand.py) is identical to the jnp
+    path's."""
+    dt_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(dt, jnp.float32), jnp.int32
+    )
+    return jnp.stack([
+        dt_bits,
+        jnp.asarray(step, jnp.int32),
+        jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+    ])
+
+
+def _unpack_meta(meta_ref):
+    """Kernel-side inverse of _thermal_meta; zeros when absent."""
+    if meta_ref is None:
+        return 0.0, 0, 0
+    dt_k = jax.lax.bitcast_convert_type(meta_ref[0], jnp.float32)
+    return dt_k, meta_ref[1], meta_ref[2].astype(jnp.uint32)
+
+
 def _call_padded(
     PFp: jax.Array,
     occ: jax.Array | None,
@@ -218,6 +247,7 @@ def _call_padded(
     interpret: bool,
     rowloop: bool,
     occ_edge: str = "walls",
+    meta: jax.Array | None = None,
 ) -> jax.Array:
     """Run the kernel over a pre-assembled padded buffer.
 
@@ -228,8 +258,10 @@ def _call_padded(
     disable gating.  ``occ_edge`` says what the halo blocks' occupancy
     bound is for the rowloop's j gating: "walls" (zeros), "wrap" (the far
     end of this same array), or "cap" (unknown remote content — a sharded
-    neighbor's slab; assume full).  Returns the raw packed accumulators
-    [A, cap_rows, NC_pad]; the caller trims.
+    neighbor's slab; assume full).  ``meta``: i32[3] scalar-prefetch
+    [bitcast(dt), step, seed] for the thermal random force (see
+    _thermal_meta), or None for the thermal-free configs.  Returns the raw
+    packed accumulators [A, cap_rows, NC_pad]; the caller trims.
     """
     cap = PFp.shape[1]
     T = params.ntypes
@@ -307,10 +339,16 @@ def _call_padded(
         raise ValueError("rowloop kernel needs the occupancy vector")
 
     def kernel(*refs):
+        i = 0
+        meta_ref = None
+        if meta is not None:
+            meta_ref = refs[i]
+            i += 1
         if need_occmax:
-            occmax_ref, tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
-        else:
-            tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs
+            occmax_ref = refs[i]
+            i += 1
+        tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs[i:]
+        dt_k, step_k, seed_k = _unpack_meta(meta_ref)
         b = pl.program_id(0)
         # stage the 3-block halo window in VMEM
         buf = jnp.concatenate([left_ref[:], mid_ref[:], right_ref[:]], axis=-1)
@@ -379,7 +417,8 @@ def _call_padded(
 
                 notself = not_diag if off == (0, 0, 0) else True
                 acc = _pass_a_offset(
-                    I, J, coeffs, params, cfg, 0.0, 0, notself, acc, pbc=pbc
+                    I, J, coeffs, params, cfg, dt_k, step_k, notself, acc,
+                    seed=seed_k, pbc=pbc,
                 )
             return acc
 
@@ -474,8 +513,8 @@ def _call_padded(
                         else:
                             notself = True
                         acc = _pass_a_offset(
-                            I, J, coeffs, params, cfg, 0.0, 0, notself, acc,
-                            pbc=pbc,
+                            I, J, coeffs, params, cfg, dt_k, step_k, notself,
+                            acc, seed=seed_k, pbc=pbc,
                         )
                     return acc
 
@@ -568,17 +607,21 @@ def _call_padded(
                 # a sharded neighbor's halo slab: occupancy unknown here
                 occ3 = occ3.at[0].set(cap).at[-1].set(cap)
         occ2 = jnp.stack([occmax, occ3], axis=0)
+    scalars = ([meta] if meta is not None else []) + (
+        [occ2] if need_occmax else []
+    )
+    if scalars:
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=len(scalars),
                 grid=(grid,),
                 in_specs=in_specs,
                 out_specs=out_spec,
             ),
             out_shape=out_shape,
             **kwargs,
-        )(occ2, tables, kap, PFp, PFp, PFp)
+        )(*scalars, tables, kap, PFp, PFp, PFp)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -605,6 +648,7 @@ def _call_tiled3d(
     n_planes: int,
     BLK: int,
     interpret: bool,
+    meta: jax.Array | None = None,
 ) -> jax.Array:
     """The 3D pass-A kernel on a 2D (x-plane, yz-block) grid.
 
@@ -673,9 +717,14 @@ def _call_tiled3d(
     TI = min(8, capk)
 
     def kernel(*refs):
+        if meta is not None:
+            meta_ref, refs = refs[0], refs[1:]
+        else:
+            meta_ref = None
         occ2_ref, tab_ref, kap_ref = refs[0], refs[1], refs[2]
         pf_refs = refs[3:12]  # [dx*3 + dy] for dx, dy in {0,1,2}^2
         out_ref = refs[12]
+        dt_k, step_k, seed_k = _unpack_meta(meta_ref)
         bx = pl.program_id(0)
         by = pl.program_id(1)
         # occ2[0] = this block's max occupancy (i-row bound); occ2[1] = max
@@ -778,8 +827,8 @@ def _call_tiled3d(
                     else:
                         notself = True
                     acc = _pass_a_offset(
-                        I, J, coeffs, params, cfg, 0.0, 0, notself, acc,
-                        pbc=pbc,
+                        I, J, coeffs, params, cfg, dt_k, step_k, notself,
+                        acc, seed=seed_k, pbc=pbc,
                     )
                 return acc
 
@@ -831,10 +880,11 @@ def _call_tiled3d(
     out_shape = jax.ShapeDtypeStruct(
         (A, n_planes, capk, NYZ_pad), jnp.float32
     )
+    scalars = ([meta] if meta is not None else []) + [occ]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=(n_planes, n_yb),
             in_specs=in_specs,
             out_specs=out_spec,
@@ -844,7 +894,7 @@ def _call_tiled3d(
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(occ, tables, kap, *([PF4p] * 9))
+    )(*scalars, tables, kap, *([PF4p] * 9))
 
 
 def _pass_a_tiled3d(
@@ -854,6 +904,7 @@ def _pass_a_tiled3d(
     cfg,
     block: int = 0,
     interpret: bool = False,
+    meta: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
     """Single-device driver for the tiled 3D kernel."""
     NC, cap = geom.ncells_total, geom.cap
@@ -881,7 +932,7 @@ def _pass_a_tiled3d(
     occ2 = jnp.stack([occmax.reshape(-1), occ9.reshape(-1)], axis=0)
 
     out = _call_tiled3d(
-        PF4p, occ2, params, geom, cfg, ngx, BLK, interpret
+        PF4p, occ2, params, geom, cfg, ngx, BLK, interpret, meta=meta
     )
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :cap]  # [A, cap, planes, lanes]
     out = out[..., :NYZ].reshape(out.shape[0], cap, ngx * NYZ)
@@ -1021,6 +1072,9 @@ def pass_a_pallas(
     block: int = 0,
     interpret: bool = False,
     rowloop: bool | None = None,
+    dt=0.0,
+    step=0,
+    seed=0,
 ) -> Dict[str, jax.Array]:
     """Run pass A as one Pallas kernel; returns the accumulator dict.
 
@@ -1030,8 +1084,11 @@ def pass_a_pallas(
     counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
     lowering past a 30-minute compile.
     """
+    meta = _thermal_meta(dt, step, seed) if cfg.thermal else None
     if geom.dim >= 3:
-        return _pass_a_tiled3d(pf, params, geom, cfg, block=0, interpret=interpret)
+        return _pass_a_tiled3d(
+            pf, params, geom, cfg, block=0, interpret=interpret, meta=meta
+        )
     if rowloop is None:
         rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap
@@ -1052,6 +1109,7 @@ def pass_a_pallas(
         PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
         interpret, rowloop,
         occ_edge="wrap" if halo_mod.wrap_x(geom) else "walls",
+        meta=meta,
     )
     out = halo_mod.trim_ghosts(out[:, :cap, :NCg], geom)
     return _unpack_accs(out, params, cfg, cap, NC)

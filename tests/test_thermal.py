@@ -64,3 +64,45 @@ def test_thermal_force_changes_with_step():
         dataclasses.replace(state, step=state.step + 1), params, spec.geom, cfg
     )
     assert not np.allclose(np.asarray(a.f), np.asarray(b.f))
+
+
+def test_thermal_kernel_matches_jnp_path():
+    """The Pallas kernel evaluates the SAME counter-based noise stream:
+    dt/step/seed ride a scalar-prefetch meta operand (exact bitcast round
+    trip) and tags ride f32 rows (exact below 2^24), so the kernel must
+    reproduce the jnp path's random force to f32 rounding — not just in
+    distribution."""
+    from sph_bvf_tpu.ops.pair import _per_particle
+    from sph_bvf_tpu.ops.pair_pallas import (
+        _acc_layout,
+        kernel_supported,
+        pass_a_pallas,
+    )
+
+    state, params, spec, cfg = _fluid_state(e=1.0)
+    # make dt/step/seed nontrivial so the meta round trip is exercised
+    state = dataclasses.replace(
+        state,
+        step=jnp.asarray(12345, state.step.dtype),
+        key=jnp.asarray([0xDEADBEEF, 0x12345], jnp.uint32).reshape(
+            state.key.shape
+        ),
+    )
+    assert kernel_supported(state, params, spec.geom, cfg)
+    ref = compute_forces(state, params, spec.geom, cfg)
+    pf = _per_particle(state, params, cfg)
+    seed = state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1]
+    acc = pass_a_pallas(
+        pf, params, spec.geom, cfg, block=128, interpret=True,
+        dt=state.dt, step=state.step, seed=seed,
+    )
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
+    # and the noise is actually present (e>0 => nonzero random force)
+    assert float(jnp.max(jnp.abs(ref.f))) > 0
