@@ -84,6 +84,14 @@ def _probe_backend():
 _BACKEND = _probe_backend()
 
 import jax  # noqa: E402
+
+# Persistent compilation cache (verified working through the axon tunnel):
+# repeat runs at the same tree skip the multi-minute Mosaic/XLA compiles,
+# so the driver's budget-capped capture completes the whole matrix.
+# /root/.cache survives the /tmp wipes between rounds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp  # noqa: E402
 
 from sph_bvf_tpu.core.stepper import run_chunk, setup  # noqa: E402
@@ -226,16 +234,19 @@ def main():
     if os.environ.get("BENCH_MODELS", "1") != "0":
         # (name, build thunk, dt, timed chunks, baseline key)
         if on_tpu:
+            # cheap-to-build legs first: on a cold compile cache the 3D
+            # N=100 leg's 1.19M-particle host build + compile can eat the
+            # whole remaining budget
             matrix = [
-                ("lid_cavity3d_N100",
-                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, None),
-                ("natural_convection_N200",
-                 lambda: natural_convection.build(N=200), 1e-4, 10,
-                 "natural_convection"),
                 ("fsi_nx60", lambda: fsi.build(nx=60), 1e-8, 10, "fsi"),
                 ("cell_polarization_nx100",
                  lambda: cell_polarization.build(nx=100), 1e-10, 10,
                  "cell_polarization"),
+                ("natural_convection_N200",
+                 lambda: natural_convection.build(N=200), 1e-4, 10,
+                 "natural_convection"),
+                ("lid_cavity3d_N100",
+                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, None),
             ]
         else:
             matrix = [

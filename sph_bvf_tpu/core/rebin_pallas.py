@@ -333,20 +333,6 @@ def _move_call_tiled3d(
         bx = pl.program_id(0)
         by = pl.program_id(1)
 
-        # stage the 3 x-planes' 3-yz-block windows
-        bufs_f = [
-            jnp.concatenate(
-                [f_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)], axis=-1
-            )
-            for dx in range(3)
-        ]
-        bufs_i = [
-            jnp.concatenate(
-                [i_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)], axis=-1
-            )
-            for dx in range(3)
-        ]
-
         l = by * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
         cz = l % ngz
         cy = l // ngz  # within-plane y (>= ngy on yz pad lanes)
@@ -364,20 +350,45 @@ def _move_call_tiled3d(
 
         def tile_body(t, carry):
             accF, accI, cnt = carry
-            s0 = t * TI
+            # dynamic indices only on ref loads (Mosaic has no
+            # dynamic_slice on values): stage this sublane tile's 3-yz-block
+            # window per x-plane from the refs, then slice lanes statically
+            s0 = pl.multiple_of(t * TI, TI)
+            jw_f = [
+                jnp.concatenate(
+                    [
+                        f_refs[dx * 3 + dy][:, 0, pl.dslice(s0, TI), :]
+                        for dy in range(3)
+                    ],
+                    axis=-1,
+                )
+                for dx in range(3)
+            ]
+            jw_i = [
+                jnp.concatenate(
+                    [
+                        i_refs[dx * 3 + dy][:, 0, pl.dslice(s0, TI), :]
+                        for dy in range(3)
+                    ],
+                    axis=-1,
+                )
+                for dx in range(3)
+            ]
             tiles_f = [
-                jax.lax.dynamic_slice(
-                    bufs_f[off[0] + 1],
-                    (0, s0, BLK + off_flat - off[0] * NYZ),
-                    (Ff, TI, BLK),
+                jax.lax.slice_in_dim(
+                    jw_f[off[0] + 1],
+                    BLK + off_flat - off[0] * NYZ,
+                    BLK + off_flat - off[0] * NYZ + BLK,
+                    axis=2,
                 )
                 for off_flat, off in offs
             ]
             tiles_i = [
-                jax.lax.dynamic_slice(
-                    bufs_i[off[0] + 1],
-                    (0, s0, BLK + off_flat - off[0] * NYZ),
-                    (Fi, TI, BLK),
+                jax.lax.slice_in_dim(
+                    jw_i[off[0] + 1],
+                    BLK + off_flat - off[0] * NYZ,
+                    BLK + off_flat - off[0] * NYZ + BLK,
+                    axis=2,
                 )
                 for off_flat, off in offs
             ]

@@ -350,8 +350,15 @@ def _call_padded(
         tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs[i:]
         dt_k, step_k, seed_k = _unpack_meta(meta_ref)
         b = pl.program_id(0)
-        # stage the 3-block halo window in VMEM
-        buf = jnp.concatenate([left_ref[:], mid_ref[:], right_ref[:]], axis=-1)
+        # stage the 3-block halo window in VMEM (rowloop stages TI-row
+        # windows per j-tile instead — see jbody)
+        buf = (
+            None
+            if rowloop
+            else jnp.concatenate(
+                [left_ref[:], mid_ref[:], right_ref[:]], axis=-1
+            )
+        )
 
         g = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
         cz = g % ngz
@@ -447,21 +454,6 @@ def _call_padded(
             occ3 = occmax_ref[1, b]
             TI = min(8, cap)
 
-            def unpack_j(j0, lo):
-                out = {}
-                for name, nrows in fl:
-                    r0, r1 = frow[name]
-                    a = jax.lax.dynamic_slice(
-                        buf[r0:r1], (0, j0, lo), (nrows, TI, BLK)
-                    )
-                    if name in ("AS", "S"):
-                        out[name] = a.reshape((3, 3) + a.shape[1:])
-                    elif nrows == 1:
-                        out[name] = a[0]
-                    else:
-                        out[name] = a
-                return out
-
             def acc_for_itile(r0):
                 ibuf = mid_ref[:, pl.dslice(r0, TI), :]
                 ctr = unpack(ibuf, 0, BLK)
@@ -481,11 +473,23 @@ def _call_padded(
                     acc[name] = jnp.zeros(shape, jnp.float32)
 
                 def jbody(jt, acc):
-                    j0 = jt * TI
+                    # dynamic indices are only legal on ref loads (Mosaic
+                    # has no dynamic_slice on values): stage the j-tile's
+                    # 3-block window from the refs at a sublane-aligned
+                    # offset, then slice lanes statically per stencil offset
+                    j0 = pl.multiple_of(jt * TI, TI)
+                    jwin = jnp.concatenate(
+                        [
+                            left_ref[:, pl.dslice(j0, TI), :],
+                            mid_ref[:, pl.dslice(j0, TI), :],
+                            right_ref[:, pl.dslice(j0, TI), :],
+                        ],
+                        axis=-1,
+                    )
                     for off in offsets:
                         off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
                         lo = BLK + off_flat
-                        Jf = unpack_j(j0, lo)
+                        Jf = unpack(jwin, lo, lo + BLK)
                         inb = jnp.ones((1, BLK), bool)
                         for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
                             if o != 0:
@@ -523,7 +527,7 @@ def _call_padded(
                 )
 
             def body(t, carry):
-                r0 = t * TI
+                r0 = pl.multiple_of(t * TI, TI)
                 write_rows(acc_for_itile(r0), r0, TI)
                 return carry
 
@@ -733,34 +737,9 @@ def _call_tiled3d(
         occmax = occ2_ref[0, bx * n_yb + by]
         occ9 = occ2_ref[1, bx * n_yb + by]
 
-        # stage the 3 x-planes' 3-yz-block windows in VMEM
-        bufs = [
-            jnp.concatenate(
-                [pf_refs[dx * 3 + dy][:, 0, :, :] for dy in range(3)],
-                axis=-1,
-            )
-            for dx in range(3)
-        ]
-
         l = by * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
         cz = l % ngz
         cy = l // ngz  # within-plane y coordinate (>= ngy on pad lanes)
-
-        def unpack_j(buf, j0, lo):
-            """J fields for rows [j0, j0+8) of the lane window at ``lo``."""
-            out = {}
-            for name, nrows in fl:
-                r0, r1 = frow[name]
-                a = jax.lax.dynamic_slice(
-                    buf[r0:r1], (0, j0, lo), (nrows, TI, BLK)
-                )
-                if name in ("AS", "S"):
-                    out[name] = a.reshape((3, 3) + a.shape[1:])
-                elif nrows == 1:
-                    out[name] = a[0]
-                else:
-                    out[name] = a
-            return out
 
         def acc_for_ibuf(ibuf, r0):
             """Accumulators for i-rows [r0, r0+TI), j-tiled by occupancy.
@@ -789,10 +768,24 @@ def _call_tiled3d(
                 acc[name] = jnp.zeros(shape, jnp.float32)
 
             def jbody(jt, acc):
-                j0 = jt * TI
+                # dynamic indices only on ref loads (no dynamic_slice on
+                # values in Mosaic): stage this j-tile's 3-yz-block window
+                # per x-plane at a sublane-aligned offset, then slice lanes
+                # statically per stencil offset
+                j0 = pl.multiple_of(jt * TI, TI)
+                jwins = [
+                    jnp.concatenate(
+                        [
+                            pf_refs[dx * 3 + dy][:, 0, pl.dslice(j0, TI), :]
+                            for dy in range(3)
+                        ],
+                        axis=-1,
+                    )
+                    for dx in range(3)
+                ]
                 for off in offsets:
                     lo = BLK + off[1] * ngz + off[2]
-                    Jf = unpack_j(bufs[off[0] + 1], j0, lo)
+                    Jf = unpack(jwins[off[0] + 1], lo, lo + BLK)
                     # y/z masks: a +-1 step from a row/column edge lands on
                     # the adjacent column's far lane — mask it (ghost
                     # columns keep periodic wraps in-bounds with correct
@@ -845,7 +838,7 @@ def _call_tiled3d(
         out_ref[...] = jnp.zeros((A, 1, capk, BLK), jnp.float32)
 
         def body(t, carry):
-            r0 = t * TI
+            r0 = pl.multiple_of(t * TI, TI)
             acc = acc_for_ibuf(pf_refs[4][:, 0, pl.dslice(r0, TI), :], r0)
             write_rows(acc, r0)
             return carry
