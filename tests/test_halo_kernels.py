@@ -72,6 +72,7 @@ def _assert_accs_match(state, params, geom, cfg, acc, tol=5e-6):
         assert err <= tol * scale, (name, err, scale)
 
 
+@pytest.mark.slow
 def test_pass_a_periodic_x(fsi_state):
     state, params, spec = fsi_state
     geom, cfg = spec.geom, spec.pair
@@ -81,6 +82,7 @@ def test_pass_a_periodic_x(fsi_state):
     _assert_accs_match(state, params, geom, cfg, acc)
 
 
+@pytest.mark.slow
 def test_pass_a_fully_periodic(polar_state):
     state, params, spec = polar_state
     geom, cfg = spec.geom, spec.pair
@@ -102,6 +104,7 @@ def fsi_state24():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("case", ["walls", "periodic"])
+@pytest.mark.slow
 def test_pass_a_sharded_matches(case, fsi_state24):
     from sph_bvf_tpu.parallel.mesh import make_mesh
 
@@ -185,12 +188,14 @@ def _compare_rebin(state, geom, monkeypatch, sharded_mesh=None):
     np.testing.assert_array_equal(cell[valid], owner[valid])
 
 
+@pytest.mark.slow
 def test_rebin_periodic_x(fsi_state, monkeypatch):
     state, params, spec = fsi_state
     state = _drift(state, spec.geom)
     _compare_rebin(state, spec.geom, monkeypatch)
 
 
+@pytest.mark.slow
 def test_rebin_fully_periodic(polar_state, monkeypatch):
     state, params, spec = polar_state
     state = _drift(state, spec.geom)
@@ -199,6 +204,7 @@ def test_rebin_fully_periodic(polar_state, monkeypatch):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("case", ["walls", "periodic"])
+@pytest.mark.slow
 def test_rebin_sharded_migration(case, monkeypatch, fsi_state24):
     """Cross-shard particle migration: the drift pushes edge-column
     particles over shard boundaries (and periodic faces), where only the
@@ -249,6 +255,7 @@ def test_run_chunk_sharded_kernel_path(fsi_state24):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_pass_a_sharded_species_fully_periodic():
     """Sharded kernels with SDPD species + G0 chemo-coupling + ghost
     columns + wrapped x — the fully loaded configuration.  Needs a grid
@@ -270,6 +277,7 @@ def test_pass_a_sharded_species_fully_periodic():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_rebin_sharded_3d_plane_migration(monkeypatch):
     """The tiled-3D rebin move under shard_map: drift pushes edge-plane
     particles across the shard boundary, where only the exchanged halo
@@ -286,6 +294,7 @@ def test_rebin_sharded_3d_plane_migration(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_pass_a_sharded_3d_plane_exchange():
     """The tiled 3D kernel under shard_map: one x-plane exchanged per side
     (the 3D brick ghost exchange; y/z are local by construction)."""

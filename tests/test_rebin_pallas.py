@@ -77,6 +77,7 @@ def test_kernel_matches_with_drop(monkeypatch):
     _assert_states_equal(ref, got)
 
 
+@pytest.mark.slow
 def test_kernel_matches_jnp_rebin_3d(monkeypatch):
     """The tiled-plane 3D move (rebin_pallas._move_call_tiled3d): same
     candidate order as 2D — slot-major then flat-offset ascending — so on a

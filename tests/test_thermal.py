@@ -11,6 +11,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sph_bvf_tpu.core.stepper import setup
 from sph_bvf_tpu.models import lid_cavity
@@ -66,6 +67,7 @@ def test_thermal_force_changes_with_step():
     assert not np.allclose(np.asarray(a.f), np.asarray(b.f))
 
 
+@pytest.mark.slow
 def test_thermal_kernel_matches_jnp_path():
     """The Pallas kernel evaluates the SAME counter-based noise stream:
     dt/step/seed ride a scalar-prefetch meta operand (exact bitcast round
