@@ -58,6 +58,19 @@ def main():
     ytop = d0["y"][beam0].max()
     tip_ids = set(d0["id"][beam0][d0["y"][beam0] > ytop - 3e-6].astype(int))
 
+    # id map: our tag numbering is NOT the C++ atom id (creation order
+    # differs), but the step-0 geometries are identical — match by
+    # position.  tag2cid[tag] = C++ id of the particle at the same x0.
+    tags0 = ours["0_tag"].astype(int)
+    x0 = ours["0_x"][:, :2]
+    cpp_xy0 = np.stack([d0["x"], d0["y"]], 1)
+    cpp_ids0 = d0["id"].astype(int)
+    # lexicographic sort both sides by (x, y); positions agree to f32 eps
+    oc = np.lexsort((cpp_xy0[:, 1], cpp_xy0[:, 0]))
+    oo = np.lexsort((x0[:, 1], x0[:, 0]))
+    assert np.abs(cpp_xy0[oc] - x0[oo]).max() < 1e-9, "step-0 geometry mismatch"
+    tag2cid = dict(zip(tags0[oo], cpp_ids0[oc]))
+
     print(f"{'step':>8} {'tip_x cpp':>12} {'tip_x ours':>12} {'dtip':>10} "
           f"{'max|dv|':>10} {'vscale':>10}")
     for s in steps:
@@ -66,13 +79,14 @@ def main():
         tip_c = c["x"][sel].mean()
 
         tags = ours[f"{s}_tag"].astype(int)
+        cids = np.array([tag2cid[t] for t in tags])
         xo = ours[f"{s}_x"]
-        sel_o = np.isin(tags, list(tip_ids))
+        sel_o = np.isin(cids, list(tip_ids))
         tip_o = xo[sel_o][:, 0].mean()
 
         # field comparison on matched ids
         order_c = np.argsort(c["id"].astype(int))
-        order_o = np.argsort(tags)
+        order_o = np.argsort(cids)
         v_c = np.stack([c["vx"], c["vy"]], 1)[order_c]
         v_o = ours[f"{s}_v"][order_o][:, :2]
         dv = np.abs(v_c - v_o).max()
