@@ -10,9 +10,11 @@ Re100 N=200, the reference's own headline config):
 
 ``models`` adds one entry per paper example — cavity 2D/3D, natural
 convection, fsi, cell polarization — each ratioed against the serial
-reference C++ build measured on this machine (bench_baseline.json; the 3D
-cavity is ratioed against the 2D flagship baseline per the round-1
-verdict's convention).
+reference C++ build running the SAME model on this machine
+(bench_baseline.json; the 3D entry was measured round 3 —
+/tmp/cav3d/run_nx50.log — replacing the earlier convention of ratioing
+3D against the 2D flagship rate, which overstated the baseline ~6.5x:
+3D has 37.9 neighbors/atom vs 2D's ~10).
 
 Robustness (round-3 verdict item #1):
   * A subprocess probes TPU/device init with a timeout first; if the
@@ -144,7 +146,7 @@ def _parity_check():
     otherwise surface as a silent jnp-fallback (or wrong) number."""
     import dataclasses
 
-    from sph_bvf_tpu.models import fsi, lid_cavity
+    from sph_bvf_tpu.models import fsi, lid_cavity, lid_cavity3d
     from sph_bvf_tpu.ops.pair import compute_forces
     from sph_bvf_tpu.ops.pair_pallas import pallas_eligible
 
@@ -152,6 +154,8 @@ def _parity_check():
     for name, build, dt in (
         ("cavity50", lambda: lid_cavity.build(N=50), 1e-4),
         ("fsi30", lambda: fsi.build(nx=30), 1e-8),
+        # all three kernel shapes: grouped 2D, rowloop, tiled 3D
+        ("cavity3d16", lambda: lid_cavity3d.build(N=16), 1e-4),
     ):
         state, params, spec, _ = build()
         if not pallas_eligible(state, params, spec.geom, spec.pair):
@@ -246,12 +250,12 @@ def main():
                  lambda: natural_convection.build(N=200), 1e-4, 10,
                  "natural_convection"),
                 ("lid_cavity3d_N100",
-                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, None),
+                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, "lid_cavity3d"),
             ]
         else:
             matrix = [
                 ("lid_cavity3d_N24",
-                 lambda: lid_cavity3d.build(N=24), 1e-4, 2, None),
+                 lambda: lid_cavity3d.build(N=24), 1e-4, 2, "lid_cavity3d"),
                 ("natural_convection_N50",
                  lambda: natural_convection.build(N=50), 1e-4, 2,
                  "natural_convection"),

@@ -611,6 +611,22 @@ class Scene:
             integ.variant in ("bvf", "artificial_stress", "zhang"),
         )
         pair_kwargs.setdefault("free_solids_present", free_solids)
+        # coefficient tables whose entries are all equal collapse to a
+        # scalar broadcast in the pair drivers (PairConfig.uniform_tables);
+        # each derived table (coeff_tables) is uniform iff its source
+        # pair_coeff array is.  Concrete values here, so this is static.
+        ptp0 = lambda a: float(np.ptp(np.asarray(a))) == 0.0
+        uniform = []
+        for names, arr in (
+            (("h", "inv_h", "inv_wdelta"), params.cut),
+            (("eta",), params.visc),
+            (("hc", "inv_hc"), params.cutc),
+            (("m_harm",), params.mass),
+            (("geff",), params.G0),
+        ):
+            if ptp0(arr):
+                uniform.extend(names)
+        pair_kwargs.setdefault("uniform_tables", tuple(sorted(uniform)))
         pair_cfg = getattr(PairConfig, self._pair_variant)(
             dim=self.dim,
             solids_present=solids,

@@ -110,6 +110,15 @@ class PairConfig:
     rng_seed: int = 0
     # truncation order of the per-pair hop-count Poisson (core/ssa.py)
     ssa_poisson_terms: int = 6
+    # coefficient tables (coeff_tables) whose [T, T] entries are all equal —
+    # computed by Scene.build from the concrete pair_coeff values.  The pair
+    # drivers collapse these to a scalar broadcast instead of a per-pair
+    # type-select chain (the Pallas kernels) or gather (the jnp path): for
+    # the shipped scenes most tables are uniform (one h/eta for every type
+    # pair), so this removes ~5 pair-shaped select ops per table per stencil
+    # offset from the hot kernel.  Scalarization is bit-exact (table[0, 0]
+    # equals every gathered entry).
+    uniform_tables: tuple = ()
 
     @staticmethod
     def transport_velocity(dim=2, **kw):
@@ -295,11 +304,33 @@ def coeff_tables(params: Params, cfg: PairConfig):
     return out
 
 
+def used_table_names(params: Params, cfg: PairConfig) -> tuple:
+    """The coeff_tables entries `_pass_a_offset` actually reads under this
+    config.  The Pallas drivers build select chains only for these (Mosaic
+    cannot DCE an unused chain the way XLA drops an unused gather), and the
+    jnp driver skips the dead pair-shaped gathers."""
+    names = ["h", "inv_h", "eta"]
+    if params.n_sdpd > 0 or params.n_ssa > 0:
+        names += ["hc", "inv_hc", "m_harm"]
+    if cfg.solids_present:
+        names.append("inv_wdelta")
+    if cfg.elastic_present and not cfg.g0_chem_coupling:
+        names.append("geff")
+    return tuple(names)
+
+
 def lookup_pair_coeffs(ti, tj, params: Params, cfg: PairConfig):
-    """Gather the per-type-pair tables for pair-shaped type indices."""
+    """Gather the per-type-pair tables for pair-shaped type indices.
+
+    Uniform tables (cfg.uniform_tables) come back as scalars — bit-exact
+    with the gather, since every entry equals table[0, 0]."""
     tp = ti * params.ntypes + tj
+    tabs = coeff_tables(params, cfg)
     out = {
-        k: v.reshape(-1)[tp] for k, v in coeff_tables(params, cfg).items()
+        k: tabs[k].reshape(-1)[0]
+        if k in cfg.uniform_tables
+        else tabs[k].reshape(-1)[tp]
+        for k in used_table_names(params, cfg)
     }
     if params.n_sdpd > 0:
         out["kap"] = jnp.moveaxis(params.kappa, -1, 0).reshape(

@@ -197,6 +197,32 @@ def _select_table(ti, tj, table_ref, T: int):
     return out
 
 
+def _coeff_builder(tab_names, cfg, tab_ref, T: int):
+    """Per-offset coefficient-dict builder for the kernels.
+
+    Uniform tables (cfg.uniform_tables, computed by Scene.build from the
+    concrete pair_coeff values) collapse to ONE scalar load, hoisted out of
+    the offset/tile loops — bit-exact, since every entry equals
+    table[0, 0].  Only genuinely type-dependent tables pay the factored
+    select chain.  For the shipped scenes this removes most of the ~5
+    pair-shaped ops x n_tables x n_offsets select tax from the hot loop
+    (e.g. the 3D cavity's tables are ALL uniform)."""
+    base = {
+        k: tab_ref[i, 0, 0]
+        for i, k in enumerate(tab_names)
+        if k in cfg.uniform_tables
+    }
+
+    def build(ti, tj):
+        out = dict(base)
+        for i, k in enumerate(tab_names):
+            if k not in cfg.uniform_tables:
+                out[k] = _select_table(ti, tj, tab_ref[i], T)
+        return out
+
+    return build
+
+
 def _select_table_rows(ti, tj, table_ref, T: int, nsp: int):
     """table[ti, tj, :] -> [nsp, pair shape] via the same factored select."""
     comps = []
@@ -287,10 +313,13 @@ def _call_padded(
         if geom.periodic[ax] and geom.ncells[ax] > 1
     )
 
-    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset, coeff_tables
+    from sph_bvf_tpu.ops.pair import (
+        _bc, _pass_a_offset, coeff_tables, used_table_names,
+    )
 
     tab_dict = coeff_tables(params, cfg)
-    tab_names = sorted(tab_dict)
+    used = used_table_names(params, cfg)
+    tab_names = [k for k in sorted(tab_dict) if k in used]
     tables = jnp.stack(
         [tab_dict[k] for k in tab_names], axis=0
     ).astype(jnp.float32)  # [n_tab, T, T]
@@ -349,6 +378,7 @@ def _call_padded(
             i += 1
         tab_ref, kap_ref, left_ref, mid_ref, right_ref, out_ref = refs[i:]
         dt_k, step_k, seed_k = _unpack_meta(meta_ref)
+        coeff_for = _coeff_builder(tab_names, cfg, tab_ref, T)
         b = pl.program_id(0)
         # stage the 3-block halo window in VMEM (rowloop stages TI-row
         # windows per j-tile instead — see jbody)
@@ -413,10 +443,7 @@ def _call_padded(
                 J = {k: _bc(v, "j") for k, v in Jf.items()}
 
                 ti, tj = I["ptype"], J["ptype"]
-                coeffs = {
-                    k: _select_table(ti, tj, tab_ref[i], T)
-                    for i, k in enumerate(tab_names)
-                }
+                coeffs = coeff_for(ti, tj)
                 if params.n_sdpd > 0:
                     coeffs["kap"] = _select_table_rows(
                         ti, tj, kap_ref, T, params.n_sdpd
@@ -498,10 +525,7 @@ def _call_padded(
                         Jf["solid"] = Jf["solid"] != 0.0
                         J = {k: _bc(v, "j") for k, v in Jf.items()}
                         ti, tj = I["ptype"], J["ptype"]
-                        coeffs = {
-                            k: _select_table(ti, tj, tab_ref[i], T)
-                            for i, k in enumerate(tab_names)
-                        }
+                        coeffs = coeff_for(ti, tj)
                         if params.n_sdpd > 0:
                             coeffs["kap"] = _select_table_rows(
                                 ti, tj, kap_ref, T, params.n_sdpd
@@ -691,10 +715,13 @@ def _call_tiled3d(
         if geom.periodic[ax] and geom.ncells[ax] > 1
     )
 
-    from sph_bvf_tpu.ops.pair import _bc, _pass_a_offset, coeff_tables
+    from sph_bvf_tpu.ops.pair import (
+        _bc, _pass_a_offset, coeff_tables, used_table_names,
+    )
 
     tab_dict = coeff_tables(params, cfg)
-    tab_names = sorted(tab_dict)
+    used = used_table_names(params, cfg)
+    tab_names = [k for k in sorted(tab_dict) if k in used]
     tables = jnp.stack(
         [tab_dict[k] for k in tab_names], axis=0
     ).astype(jnp.float32)
@@ -729,6 +756,7 @@ def _call_tiled3d(
         pf_refs = refs[3:12]  # [dx*3 + dy] for dx, dy in {0,1,2}^2
         out_ref = refs[12]
         dt_k, step_k, seed_k = _unpack_meta(meta_ref)
+        coeff_for = _coeff_builder(tab_names, cfg, tab_ref, T)
         bx = pl.program_id(0)
         by = pl.program_id(1)
         # occ2[0] = this block's max occupancy (i-row bound); occ2[1] = max
@@ -801,10 +829,7 @@ def _call_tiled3d(
                     J = {k: _bc(v, "j") for k, v in Jf.items()}
 
                     ti, tj = I["ptype"], J["ptype"]
-                    coeffs = {
-                        k: _select_table(ti, tj, tab_ref[i], T)
-                        for i, k in enumerate(tab_names)
-                    }
+                    coeffs = coeff_for(ti, tj)
                     if params.n_sdpd > 0:
                         coeffs["kap"] = _select_table_rows(
                             ti, tj, kap_ref, T, params.n_sdpd
