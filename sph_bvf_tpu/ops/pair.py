@@ -348,6 +348,66 @@ def lookup_pair_coeffs(ti, tj, params: Params, cfg: PairConfig):
 # ---------------------------------------------------------------------------
 
 
+def _pass_a_dS(I, J, coeffs, cfg: PairConfig, dx, wfd):
+    """Jaumann deviatoric stress-rate pair term (pair...mechanics.cpp:433-451)
+    for one stencil offset: [3, 3, ci, cj, NC]; the caller reduces over cj.
+
+    Factored out of `_pass_a_offset` so the rowloop kernel can evaluate it
+    under a per-block elastic gate: dS is EXACTLY zero for every i that is
+    not a valid solid with G0 > 0 or S != 0 (el carries geff -> 0 when
+    G0_i = 0; sdr/rds carry S_i -> 0), so blocks without such particles can
+    skip the whole block — by far the largest term group in the elastic
+    configs (~24% of fsi pass A, measured round 3).
+    """
+    solid_i = I["solid"]
+    velvec = I["vest"] - J["vest"]
+    dvest = -velvec  # vest_j - vest_i
+    # strain/rotation: 0.5 (mj/rhoj) wfd (dvest[m] dx[n] +/- dvest[n] dx[m])
+    pref = 0.5 * J["m_rho"] * wfd
+    if cfg.g0_chem_coupling:
+        # fsi softens G0 per particle (pair...fsi.cpp:441-445)
+        geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
+    else:
+        geff = coeffs["geff"]
+    two_geff = 2.0 * geff
+    # unrolled 3x3: elastic + S.rot^T + rot.S  (S symmetric is not
+    # assumed; matches the reference's componentwise updates)
+    outer = [[dvest[a] * dx[b] for b in range(3)] for a in range(3)]
+    strain = [
+        [pref * (outer[a][b] + outer[b][a]) for b in range(3)]
+        for a in range(3)
+    ]
+    rot = [
+        [pref * (outer[a][b] - outer[b][a]) for b in range(3)]
+        for a in range(3)
+    ]
+    Si = I["S"]
+    rows = []
+    for mm in range(3):
+        cols = []
+        for nn in range(3):
+            el = two_geff * strain[mm][nn] * (1.0 if mm != nn else (1.0 - 1.0 / 3.0))
+            sdr = sum(Si[mm, k] * rot[nn][k] for k in range(3))
+            rds = sum(rot[mm][k] * Si[k, nn] for k in range(3))
+            cols.append(
+                jnp.where(solid_i, el + sdr + rds, 0.0)
+            )
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [3, 3, ci, cj, NC]
+
+
+def _pass_a_dS_offset(I, J, coeffs, cfg: PairConfig, notself, pbc=()):
+    """Standalone dS evaluation for one offset (rowloop elastic-gated pass):
+    recomputes the pair geometry exactly as `_pass_a_offset` does, then the
+    Jaumann term; returns the cj-reduced [3, 3, ci, NC] accumulator slab."""
+    f32 = I["x"].dtype
+    dx = _pair_delta(I["x"], J["x"], pbc)
+    r = jnp.sqrt(_dot3(dx, dx))
+    mask = (I["valid"] & J["valid"] & notself).astype(f32)
+    wfd = lucy_wfd_ih(r, coeffs["inv_h"], cfg.dim) * mask
+    return jnp.sum(_pass_a_dS(I, J, coeffs, cfg, dx, wfd), axis=-2)
+
+
 def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0, pbc=()):
     """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
 
@@ -476,42 +536,11 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
         # i, so the global virial is 0.5 * sum_i of this row)
         acc["vir"] += jnp.sum(_dot3(dx, fsum), axis=RED)
 
-    # Jaumann deviatoric stress rate (:433-451)
-    if cfg.elastic_present:
-        dvest = -velvec  # vest_j - vest_i
-        # strain/rotation: 0.5 (mj/rhoj) wfd (dvest[m] dx[n] +/- dvest[n] dx[m])
-        pref = 0.5 * J["m_rho"] * wfd
-        if cfg.g0_chem_coupling:
-            # fsi softens G0 per particle (pair...fsi.cpp:441-445)
-            geff = 2.0 * I["G0"] * J["G0"] / (I["G0"] + J["G0"] + 1e-12)
-        else:
-            geff = coeffs["geff"]
-        two_geff = 2.0 * geff
-        # unrolled 3x3: elastic + S.rot^T + rot.S  (S symmetric is not
-        # assumed; matches the reference's componentwise updates)
-        outer = [[dvest[a] * dx[b] for b in range(3)] for a in range(3)]
-        strain = [
-            [pref * (outer[a][b] + outer[b][a]) for b in range(3)]
-            for a in range(3)
-        ]
-        rot = [
-            [pref * (outer[a][b] - outer[b][a]) for b in range(3)]
-            for a in range(3)
-        ]
-        Si = I["S"]
-        rows = []
-        for mm in range(3):
-            cols = []
-            for nn in range(3):
-                el = two_geff * strain[mm][nn] * (1.0 if mm != nn else (1.0 - 1.0 / 3.0))
-                sdr = sum(Si[mm, k] * rot[nn][k] for k in range(3))
-                rds = sum(rot[mm][k] * Si[k, nn] for k in range(3))
-                cols.append(
-                    jnp.where(solid_i, el + sdr + rds, 0.0)
-                )
-            rows.append(jnp.stack(cols, axis=0))
-        dS_pair = jnp.stack(rows, axis=0)  # [3, 3, ci, cj, NC]
-        acc["dS"] += jnp.sum(dS_pair, axis=RED)
+    # Jaumann deviatoric stress rate (:433-451).  The "dS" key check lets
+    # the rowloop kernel run this block in a separate per-block elastic-
+    # gated pass (_pass_a_dS_offset below) instead of the main loop.
+    if cfg.elastic_present and "dS" in acc:
+        acc["dS"] += jnp.sum(_pass_a_dS(I, J, coeffs, cfg, dx, wfd), axis=RED)
 
     # density evolution, "new density formulation" (:547-555)
     dvt = I["v"] - J["v"]  # transport-velocity difference

@@ -274,6 +274,7 @@ def _call_padded(
     rowloop: bool,
     occ_edge: str = "walls",
     meta: jax.Array | None = None,
+    eflag: jax.Array | None = None,
 ) -> jax.Array:
     """Run the kernel over a pre-assembled padded buffer.
 
@@ -286,8 +287,12 @@ def _call_padded(
     end of this same array), or "cap" (unknown remote content — a sharded
     neighbor's slab; assume full).  ``meta``: i32[3] scalar-prefetch
     [bitcast(dt), step, seed] for the thermal random force (see
-    _thermal_meta), or None for the thermal-free configs.  Returns the raw
-    packed accumulators [A, cap_rows, NC_pad]; the caller trims.
+    _thermal_meta), or None for the thermal-free configs.  ``eflag``:
+    [NC_lanes] i32 marking lanes whose cells hold a valid solid i with
+    nonzero elastic response (``_elastic_lanes``); when given on an
+    elastic rowloop config, the Jaumann dS block runs in a separate pass
+    gated per block on it.  Returns the raw packed accumulators
+    [A, cap_rows, NC_pad]; the caller trims.
     """
     cap = PFp.shape[1]
     T = params.ntypes
@@ -314,7 +319,8 @@ def _call_padded(
     )
 
     from sph_bvf_tpu.ops.pair import (
-        _bc, _pass_a_offset, coeff_tables, used_table_names,
+        _bc, _pass_a_dS_offset, _pass_a_offset, coeff_tables,
+        used_table_names,
     )
 
     tab_dict = coeff_tables(params, cfg)
@@ -366,6 +372,7 @@ def _call_padded(
     need_occmax = (rowloop or bool(gated_groups)) and occ is not None
     if rowloop and occ is None:
         raise ValueError("rowloop kernel needs the occupancy vector")
+    gate_ds = rowloop and cfg.elastic_present and eflag is not None
 
     def kernel(*refs):
         i = 0
@@ -456,8 +463,8 @@ def _call_padded(
                 )
             return acc
 
-        def write_rows(acc, s0, ci):
-            for name, nrows in al:
+        def write_rows(acc, s0, ci, entries=al):
+            for name, nrows in entries:
                 r0, r1 = arow[name]
                 out_ref[r0:r1, pl.dslice(s0, ci), :] = acc[name].reshape(
                     nrows, ci, BLK
@@ -480,17 +487,60 @@ def _call_padded(
             occmax = occmax_ref[0, b]
             occ3 = occmax_ref[1, b]
             TI = min(8, cap)
+            # elastic configs: the Jaumann dS block (~24% of the fsi pass A
+            # op budget, measured round 3) moves out of the main loop into
+            # the gated second pass below, entered only for blocks holding
+            # an i with nonzero elastic response — exact, see _pass_a_dS
+            al_main = [e for e in al if not (gate_ds and e[0] == "dS")]
 
-            def acc_for_itile(r0):
+            def stage_I(r0):
                 ibuf = mid_ref[:, pl.dslice(r0, TI), :]
                 ctr = unpack(ibuf, 0, BLK)
                 Ifields = dict(ctr)
                 Ifields["valid"] = ctr["valid"] != 0.0
                 Ifields["solid"] = ctr["solid"] != 0.0
                 Ifields["fluid"] = ~Ifields["solid"]
-                I = {k: _bc(v, "i") for k, v in Ifields.items()}
+                return {k: _bc(v, "i") for k, v in Ifields.items()}
+
+            def stage_jwin(j0):
+                # dynamic indices are only legal on ref loads (Mosaic has
+                # no dynamic_slice on values): stage the j-tile's 3-block
+                # window from the refs at a sublane-aligned offset, then
+                # slice lanes statically per stencil offset
+                return jnp.concatenate(
+                    [
+                        left_ref[:, pl.dslice(j0, TI), :],
+                        mid_ref[:, pl.dslice(j0, TI), :],
+                        right_ref[:, pl.dslice(j0, TI), :],
+                    ],
+                    axis=-1,
+                )
+
+            def jfields(jwin, off):
+                off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
+                lo = BLK + off_flat
+                Jf = unpack(jwin, lo, lo + BLK)
+                inb = jnp.ones((1, BLK), bool)
+                for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
+                    if o != 0:
+                        inb = inb & (c + o >= 0) & (c + o < n)
+                Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                Jf["solid"] = Jf["solid"] != 0.0
+                return {k: _bc(v, "j") for k, v in Jf.items()}
+
+            def notself_for(off, r0, j0):
+                if off != (0, 0, 0):
+                    return True
+                return (
+                    r0 + jax.lax.broadcasted_iota(jnp.int32, (TI, TI, 1), 0)
+                ) != (
+                    j0 + jax.lax.broadcasted_iota(jnp.int32, (TI, TI, 1), 1)
+                )
+
+            def acc_for_itile(r0):
+                I = stage_I(r0)
                 acc = {}
-                for name, nrows in al:
+                for name, nrows in al_main:
                     if name in _SCALAR_ACCS:
                         shape = (TI, BLK)
                     elif name == "dS":
@@ -500,49 +550,20 @@ def _call_padded(
                     acc[name] = jnp.zeros(shape, jnp.float32)
 
                 def jbody(jt, acc):
-                    # dynamic indices are only legal on ref loads (Mosaic
-                    # has no dynamic_slice on values): stage the j-tile's
-                    # 3-block window from the refs at a sublane-aligned
-                    # offset, then slice lanes statically per stencil offset
                     j0 = pl.multiple_of(jt * TI, TI)
-                    jwin = jnp.concatenate(
-                        [
-                            left_ref[:, pl.dslice(j0, TI), :],
-                            mid_ref[:, pl.dslice(j0, TI), :],
-                            right_ref[:, pl.dslice(j0, TI), :],
-                        ],
-                        axis=-1,
-                    )
+                    jwin = stage_jwin(j0)
                     for off in offsets:
-                        off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
-                        lo = BLK + off_flat
-                        Jf = unpack(jwin, lo, lo + BLK)
-                        inb = jnp.ones((1, BLK), bool)
-                        for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
-                            if o != 0:
-                                inb = inb & (c + o >= 0) & (c + o < n)
-                        Jf["valid"] = (Jf["valid"] != 0.0) & inb
-                        Jf["solid"] = Jf["solid"] != 0.0
-                        J = {k: _bc(v, "j") for k, v in Jf.items()}
+                        J = jfields(jwin, off)
                         ti, tj = I["ptype"], J["ptype"]
                         coeffs = coeff_for(ti, tj)
                         if params.n_sdpd > 0:
                             coeffs["kap"] = _select_table_rows(
                                 ti, tj, kap_ref, T, params.n_sdpd
                             )
-                        if off == (0, 0, 0):
-                            notself = (
-                                r0 + jax.lax.broadcasted_iota(
-                                    jnp.int32, (TI, TI, 1), 0)
-                            ) != (
-                                j0 + jax.lax.broadcasted_iota(
-                                    jnp.int32, (TI, TI, 1), 1)
-                            )
-                        else:
-                            notself = True
                         acc = _pass_a_offset(
-                            I, J, coeffs, params, cfg, dt_k, step_k, notself,
-                            acc, seed=seed_k, pbc=pbc,
+                            I, J, coeffs, params, cfg, dt_k, step_k,
+                            notself_for(off, r0, j0), acc, seed=seed_k,
+                            pbc=pbc,
                         )
                     return acc
 
@@ -552,10 +573,42 @@ def _call_padded(
 
             def body(t, carry):
                 r0 = pl.multiple_of(t * TI, TI)
-                write_rows(acc_for_itile(r0), r0, TI)
+                write_rows(acc_for_itile(r0), r0, TI, al_main)
                 return carry
 
             jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body, 0)
+
+            if gate_ds:
+                rd0, rd1 = arow["dS"]
+
+                @pl.when(occmax_ref[2, b] != 0)
+                def _():
+                    def body_ds(t, carry):
+                        r0 = pl.multiple_of(t * TI, TI)
+                        I = stage_I(r0)
+
+                        def jbody_ds(jt, accd):
+                            j0 = pl.multiple_of(jt * TI, TI)
+                            jwin = stage_jwin(j0)
+                            for off in offsets:
+                                J = jfields(jwin, off)
+                                coeffs = coeff_for(I["ptype"], J["ptype"])
+                                accd = accd + _pass_a_dS_offset(
+                                    I, J, coeffs, cfg,
+                                    notself_for(off, r0, j0), pbc=pbc,
+                                )
+                            return accd
+
+                        accd = jax.lax.fori_loop(
+                            0, (occ3 + TI - 1) // TI, jbody_ds,
+                            jnp.zeros((3, 3, TI, BLK), jnp.float32),
+                        )
+                        out_ref[rd0:rd1, pl.dslice(r0, TI), :] = (
+                            accd.reshape(9, TI, BLK)
+                        )
+                        return carry
+
+                    jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body_ds, 0)
             return
 
         acc0 = acc_for_ibuf(
@@ -634,7 +687,13 @@ def _call_padded(
             if occ_edge == "cap":
                 # a sharded neighbor's halo slab: occupancy unknown here
                 occ3 = occ3.at[0].set(cap).at[-1].set(cap)
-        occ2 = jnp.stack([occmax, occ3], axis=0)
+        rows = [occmax, occ3]
+        if gate_ds:
+            # per-block elastic-i presence: i-tiles come from this block's
+            # own (mid) lanes only, so no neighbor folding is needed
+            efp = jnp.pad(eflag, (0, NC_pad - NC_lanes))
+            rows.append(jnp.max(efp.reshape(grid, BLK), axis=1))
+        occ2 = jnp.stack(rows, axis=0)
     scalars = ([meta] if meta is not None else []) + (
         [occ2] if need_occmax else []
     )
@@ -1077,6 +1136,28 @@ def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
     return result
 
 
+def _elastic_lanes(PFg: jax.Array, params: Params, cfg, fl) -> jax.Array:
+    """[NC] i32: lanes whose cells hold a valid solid i with nonzero
+    elastic response (G0 > 0 or S != 0).  For every other i the Jaumann
+    dS term is EXACTLY zero (see _pass_a_dS), so the rowloop kernel skips
+    the whole dS pass on blocks where this is all-zero."""
+    fr = _row_ranges(fl)
+
+    def row(name):
+        r0, r1 = fr[name]
+        return PFg[r0:r1]
+
+    valid = row("valid")[0] != 0
+    solid = row("solid")[0] != 0
+    if cfg.g0_chem_coupling:
+        g0 = row("G0")[0] > 0
+    else:
+        g0 = params.G0[row("ptype")[0].astype(jnp.int32)] > 0
+    s_nz = jnp.any(row("S") != 0, axis=0)
+    lane = jnp.any(valid & solid & (g0 | s_nz), axis=0)
+    return lane.astype(jnp.int32)
+
+
 def _occ_from_packed(PFg: jax.Array) -> jax.Array:
     """Occupancy per lane from the (ghosted) packed matrix's valid row."""
     return jnp.sum((PFg[0] != 0.0).astype(jnp.int32), axis=0)
@@ -1113,7 +1194,8 @@ def pass_a_pallas(
     BLK = _kernel_block(geom, block)
     max_off = halo_mod.max_flat_offset(geom)
 
-    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    fl = _field_layout(params, cfg)
+    PF = _pack(pf, fl, cap, NC)
     if rowloop:
         # sublane-multiple slot rows so the tiled fori loops need no tail
         PF = jnp.pad(PF, ((0, 0), (0, _round_up(cap, 8) - cap), (0, 0)))
@@ -1128,6 +1210,9 @@ def pass_a_pallas(
         interpret, rowloop,
         occ_edge="wrap" if halo_mod.wrap_x(geom) else "walls",
         meta=meta,
+        eflag=_elastic_lanes(PFg, params, cfg, fl)
+        if rowloop and cfg.elastic_present
+        else None,
     )
     out = halo_mod.trim_ghosts(out[:, :cap, :NCg], geom)
     return _unpack_accs(out, params, cfg, cap, NC)
@@ -1183,7 +1268,8 @@ def pass_a_sharded(
             f"nx={geom.ncells[0]} does not split into x-aligned slabs over "
             f"{n_shards} shards (use Scene.ncx_multiple_of)"
         )
-    PF = _pack(pf, _field_layout(params, cfg), cap, NC)
+    fl = _field_layout(params, cfg)
+    PF = _pack(pf, fl, cap, NC)
     if rowloop:
         PF = jnp.pad(PF, ((0, 0), (0, _round_up(cap, 8) - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
@@ -1212,6 +1298,9 @@ def pass_a_sharded(
             # edge blocks read ppermute'd neighbor slabs whose occupancy is
             # unknown locally — assume full there
             occ_edge="cap",
+            eflag=_elastic_lanes(PFl, params, cfg, fl)
+            if rowloop and cfg.elastic_present
+            else None,
         )
         return out[:, :geom.cap, :NC_loc]
 

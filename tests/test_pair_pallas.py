@@ -194,3 +194,107 @@ def test_kernel_3d_rowloop_matches_jnp_path():
         err = float(jnp.max(jnp.abs(got - want)))
         scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
         assert err <= 5e-6 * scale, (name, err, scale)
+
+
+def test_gated_ds_rowloop_matches_jnp_path():
+    """The elastic-gated dS second pass in the rowloop kernel.
+
+    With ``cfg.elastic_present`` on a rowloop config, the Jaumann dS
+    block runs in a separate pass entered only for lane blocks whose
+    cells hold an i with nonzero elastic response (``_elastic_lanes``);
+    every other block must still write exact zeros (the kernel's output
+    buffer is uninitialized until written).  Build a two-block grid with
+    elastic solids confined to block 0: block 1 exercises the skip
+    branch, block 0 the gated evaluation, and the whole accumulator set
+    must match the jnp spec.
+    """
+    import sph_bvf_tpu.core.halo as halo_mod
+    import sph_bvf_tpu.core.state as S
+    from sph_bvf_tpu.core.state import Params
+    from sph_bvf_tpu.ops.eos import tait_b
+    from sph_bvf_tpu.ops.pair_pallas import (
+        _elastic_lanes, _field_layout, _kernel_block, _pack, _round_up)
+
+    geom = S.Geometry.build(
+        dim=2, lo=(0.0, 0.0, 0.0), hi=(32.0, 8.0, 1.0), cutoff=1.0, cap=8,
+    )
+    NC = geom.ncells_total
+    BLK = _kernel_block(geom, 128)
+    assert NC % BLK == 0 and NC // BLK >= 2  # at least one all-fluid block
+
+    # one fluid per cell center, plus a solid cluster well inside block 0
+    rng = np.random.default_rng(3)
+    gx, gy = np.meshgrid(np.arange(32) + 0.5, np.arange(8) + 0.5)
+    xf = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    xs = np.stack(
+        [2.0 + 3.0 * rng.random(24), 2.0 + 3.0 * rng.random(24)], axis=1
+    )
+    x = np.concatenate([xf, xs])
+    n, nsld = len(x), len(xs)
+    solid = np.zeros(n, bool)
+    solid[-nsld:] = True
+    ptype = solid.astype(np.int64)  # type 1 = elastic solid (G0 > 0)
+    # the solid cluster must stay inside block 0's lane range so block 1
+    # really is elastic-free (lanes are flat x-major cell indices)
+    assert (xs[:, 0].astype(int) * 8 + xs[:, 1].astype(int)).max() < BLK
+
+    state = S.state_from_particles(geom, x, ptype, dtype=jnp.float32)
+    v = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    v[:, 2] = 0.0
+    Ssym = rng.standard_normal((n, 3, 3)).astype(np.float32) * 0.01
+    Ssym = Ssym + np.swapaxes(Ssym, 1, 2)
+    Ssym[:, 2, :] = Ssym[:, :, 2] = 0.0
+    Ssym[~solid] = 0.0
+    state = S.scatter_by_tag(
+        state,
+        v=v, vest=v,
+        rho=np.full(n, 1.0, np.float32),
+        rhoI=np.full(n, 1.0, np.float32),
+        S=Ssym,
+        solid_tag=solid.astype(np.int32),
+    )
+    state = dataclasses.replace(
+        state,
+        rho=jnp.where(state.valid, state.rho, 1.0),
+        rhoI=jnp.where(state.valid, state.rhoI, 1.0),
+        dt=jnp.asarray(1e-4, jnp.float32),
+    )
+    two = jnp.ones((2,), jnp.float32)
+    params = Params(
+        mass=0.01 * two, rho0=two, c0=10.0 * two,
+        B=jnp.asarray(tait_b(10.0 * np.ones(2), np.ones(2)), jnp.float32),
+        G0=jnp.asarray([0.0, 0.3], jnp.float32),
+        cut=jnp.ones((2, 2), jnp.float32),
+        cutc=0.8 * jnp.ones((2, 2), jnp.float32),
+        visc=0.1 * jnp.ones((2, 2), jnp.float32),
+        kappa=jnp.zeros((2, 2, 0), jnp.float32),
+        kappa_ssa=jnp.zeros((2, 2, 0), jnp.float32),
+    )
+    cfg = PairConfig.mechanics(dim=2)
+
+    # structural: the gate really is off for block 1 and on for block 0
+    fl = _field_layout(params, cfg)
+    PF = _pack(_per_particle(state, params, cfg), fl, geom.cap, NC)
+    PF = jnp.pad(PF, ((0, 0), (0, _round_up(geom.cap, 8) - geom.cap), (0, 0)))
+    PFg = halo_mod.add_ghosts(PF, geom)
+    ef = np.asarray(_elastic_lanes(PFg, params, cfg, fl))
+    ef = np.pad(ef, (0, _round_up(len(ef), BLK) - len(ef)))
+    blk_gate = ef.reshape(-1, BLK).max(axis=1)
+    assert blk_gate[0] == 1 and not blk_gate[1:].any(), blk_gate
+
+    ref = compute_forces(
+        state, params, geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(
+        pf, params, geom, cfg, block=128, interpret=True, rowloop=True
+    )
+    assert float(jnp.max(jnp.abs(ref.dS))) > 0  # the pass has real work
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
