@@ -194,13 +194,27 @@ def main():
     ap.add_argument("--nx", type=int, default=50)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--field-bins", type=int, default=0,
+                    help="also compare bin-averaged Eulerian velocity "
+                         "fields on a BxB grid (the meaningful metric at "
+                         "long horizons, where per-particle trajectories "
+                         "have decorrelated chaotically)")
+    ap.add_argument("--reuse-cpp", default=None, metavar="DIR",
+                    help="reuse cpp_*.txt dumps from a previous workdir "
+                         "instead of re-running the reference binary")
     args = ap.parse_args()
 
-    outdir = tempfile.mkdtemp(prefix="golden_")
-    print(f"workdir: {outdir}")
-
     case = CASES[args.case]
-    cpp0, cpp1 = run_cpp(args.lmp, case, args.nx, args.steps, outdir)
+    if args.reuse_cpp:
+        outdir = args.reuse_cpp
+        print(f"workdir (reused): {outdir}")
+        dumps = sorted(glob.glob(os.path.join(outdir, "cpp_*.txt")),
+                       key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+        cpp0, cpp1 = read_dump_custom(dumps[0]), read_dump_custom(dumps[-1])
+    else:
+        outdir = tempfile.mkdtemp(prefix="golden_")
+        print(f"workdir: {outdir}")
+        cpp0, cpp1 = run_cpp(args.lmp, case, args.nx, args.steps, outdir)
     if "via_lmp" in case:
         init, ours = run_ours_lmp(case, args.nx, args.steps, args.f64)
     else:
@@ -249,6 +263,39 @@ def main():
         d = np.abs(a - b)
         print(f"{name:4s} max|diff|={d.max():.3e}  mean|diff|={d.mean():.3e}  "
               f"rel(max)={d.max()/scale:.3e}")
+
+    if args.field_bins:
+        # Eulerian field comparison: bin final velocities on a BxB grid and
+        # compare bin means.  Per-particle comparison is only meaningful at
+        # short horizons — individual SPH trajectories decorrelate
+        # chaotically (f32 vs f64 seeds the divergence) long before the
+        # mean flow differs, exactly like molecular trajectories vs
+        # thermodynamic fields.
+        B = args.field_bins
+        xr = np.stack([cpp1["x"], cpp1["y"]], axis=1)
+        xo = np.asarray(ours["x"])[:, :2]
+        vr = np.stack([cpp1["vx"], cpp1["vy"]], axis=1)
+        vo = np.asarray(ours["v"])[:, :2]
+        lo = np.minimum(xr.min(0), xo.min(0)) - 1e-9
+        hi = np.maximum(xr.max(0), xo.max(0)) + 1e-9
+
+        def binmean(x, v):
+            ix = ((x - lo) / (hi - lo) * B).astype(int).clip(0, B - 1)
+            flat = ix[:, 0] * B + ix[:, 1]
+            cnt = np.bincount(flat, minlength=B * B)
+            s = np.stack(
+                [np.bincount(flat, weights=v[:, k], minlength=B * B)
+                 for k in range(2)], axis=1)
+            return s / np.maximum(cnt, 1)[:, None], cnt
+
+        fr, cr = binmean(xr, vr)
+        fo, co = binmean(xo, vo)
+        both = (cr > 0) & (co > 0)
+        d = np.abs(fr - fo)[both]
+        print(f"field({B}x{B}) bins={int(both.sum())} "
+              f"max|dU|={d.max():.3e}  mean|dU|={d.mean():.3e}  "
+              f"rel(max)={d.max()/vscale:.3e}  "
+              f"rel(mean)={d.mean()/vscale:.3e}")
 
 
 if __name__ == "__main__":
