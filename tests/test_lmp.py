@@ -99,3 +99,20 @@ def test_reference_example_scripts(rel, overrides, tmp_path):
     assert int(state.overflow) == 0
     assert int(state.step) == 10
     assert glob.glob(os.path.join(tmp_path, "*.vtk"))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_all_reference_scripts_parse():
+    """Every .lmp script the reference ships (all 12 — the 4 families'
+    Re/N/Ra/case parameter variants) must parse through the front end
+    with zero unconsumed commands; the variants differ only in variable
+    values (verified by diff), so the per-family run tests above cover
+    the execution path."""
+    scripts = sorted(glob.glob(os.path.join(REF, "*", "**", "*.lmp"),
+                               recursive=True))
+    assert len(scripts) >= 12, scripts
+    for path in scripts:
+        with open(path) as f:
+            model = parse_script(f.read())
+        assert model.nsteps > 0 and model.dt > 0, path
+        assert model.scene.ntypes > 0 and len(model.scene._x) > 0, path
