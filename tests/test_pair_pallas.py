@@ -298,3 +298,91 @@ def test_gated_ds_rowloop_matches_jnp_path():
         err = float(jnp.max(jnp.abs(got - want)))
         scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
         assert err <= 5e-6 * scale, (name, err, scale)
+
+
+def test_grouped_crowded_cell():
+    """Crowded-cell coverage for the grouped 2D kernel's occupancy gates.
+
+    Build a lattice-aligned grid (base_occ > 0, cap <= 24 -> grouped
+    shape) with one cell crowded well past the base occupancy: blocks
+    near it must evaluate the occupancy-gated i-slot groups, far blocks
+    must skip them, and every accumulator must match the jnp spec either
+    way.  (A j-slot phase split gated the same way was tried and
+    reverted — measured 26-34% SLOWER on the grouped models because
+    developed flow crowds some cell in nearly every 768-lane block, so
+    the gate always fired and only the doubled j-staging + accumulator
+    read-modify-write remained.)
+    """
+    import sph_bvf_tpu.core.state as S
+    from sph_bvf_tpu.core.state import Params
+    from sph_bvf_tpu.ops.eos import tait_b
+    from sph_bvf_tpu.ops.pair_pallas import _default_rowloop, _kernel_block
+
+    geom = S.Geometry.build(
+        dim=2, lo=(0.0, 0.0, 0.0), hi=(64.0, 32.0, 1.0), cutoff=1.0,
+        cap=12, quantum=1.0,
+    )
+    assert geom.base_occ == 4 and geom.ncells == (32, 16, 1)
+    assert not _default_rowloop(geom)  # grouped shape
+    NC = geom.ncells_total
+    BLK = _kernel_block(geom, 128)
+    assert BLK == 128 and NC // BLK >= 4  # blocks far from the crowd exist
+
+    # one particle per unit-lattice site (4 per cell = base occupancy)...
+    gx, gy = np.meshgrid(np.arange(64) + 0.5, np.arange(32) + 0.5)
+    x = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    # ...plus 7 extras crammed into cell (1, 1) — occupancy 11 > base 4,
+    # deep inside lane block 0 (flat cell 1*16+1 = 17)
+    rng = np.random.default_rng(11)
+    extra = np.stack(
+        [2.05 + 1.9 * rng.random(7), 2.05 + 1.9 * rng.random(7)], axis=1
+    )
+    x = np.concatenate([x, extra])
+
+    state = S.state_from_particles(
+        geom, x, np.zeros(len(x), np.int64), dtype=jnp.float32
+    )
+    n = len(x)
+    v = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    v[:, 2] = 0.0
+    state = S.scatter_by_tag(
+        state,
+        v=v,
+        vest=v,
+        rho=np.full(n, 1.0, np.float32),
+        rhoI=np.full(n, 1.0, np.float32),
+    )
+    state = dataclasses.replace(
+        state,
+        rho=jnp.where(state.valid, state.rho, 1.0),
+        rhoI=jnp.where(state.valid, state.rhoI, 1.0),
+        dt=jnp.asarray(1e-4, jnp.float32),
+    )
+    one = jnp.ones((1,), jnp.float32)
+    params = Params(
+        mass=one, rho0=one, c0=10.0 * one,
+        B=jnp.asarray(tait_b(10.0 * np.ones(1), np.ones(1)), jnp.float32),
+        G0=0.0 * one,
+        cut=jnp.ones((1, 1), jnp.float32),
+        cutc=jnp.ones((1, 1), jnp.float32),
+        visc=0.1 * jnp.ones((1, 1), jnp.float32),
+        kappa=jnp.zeros((1, 1, 0), jnp.float32),
+        kappa_ssa=jnp.zeros((1, 1, 0), jnp.float32),
+    )
+    cfg = PairConfig.transport_velocity(
+        dim=2, solids_present=False, elastic_present=False,
+        free_solids_present=False, weighted_solid=False,
+    )
+    ref = compute_forces(
+        state, params, geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, geom, cfg, block=128, interpret=True)
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
