@@ -408,7 +408,39 @@ def _pass_a_dS_offset(I, J, coeffs, cfg: PairConfig, notself, pbc=()):
     return jnp.sum(_pass_a_dS(I, J, coeffs, cfg, dx, wfd), axis=-2)
 
 
-def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0, pbc=()):
+def _pass_a_elastic_f_offset(I, J, coeffs, cfg: PairConfig, notself, pbc=()):
+    """Deferred elastic force terms for one offset (rowloop gated pass):
+    the artificial-stress force (pair...transport_velocity.cpp:486-494) and
+    the deviatoric solid force (:504-514), re-derived exactly as
+    `_pass_a_offset` does with ``defer_elastic_forces=True`` dropping them
+    from the main loop.  Both are EXACTLY zero for every pair unless one
+    side has AS != 0 or S != 0 — i.e. unless an elastic lane
+    (`pair_pallas._elastic_lanes`) sits inside the block's stencil window —
+    so the rowloop kernel runs this only on window-gated blocks.  Returns
+    the cj-reduced [3, ci, NC] force slab to add into the f accumulator."""
+    f32 = I["x"].dtype
+    dx = _pair_delta(I["x"], J["x"], pbc)
+    r = jnp.sqrt(_dot3(dx, dx))
+    mask = (I["valid"] & J["valid"] & notself).astype(f32)
+    inv_h = coeffs["inv_h"]
+    wfd = lucy_wfd_ih(r, inv_h, cfg.dim) * mask
+    wf = lucy_w_ih(r, inv_h, cfg.dim) * mask
+    mi, mj = I["m"], J["m"]
+    as_coef = mi * mj * wfd * (wf * coeffs["inv_wdelta"]) ** 4
+    f = as_coef[None] * _xdot_tensor(dx, I["AS"] + J["AS"])
+    if cfg.free_solids_present:
+        # the deviatoric part of the solid-branch force; the rest of that
+        # branch (fviscs, fpair) stays in the main loop where the
+        # solid_i select is applied
+        inv_i = I["inv_rho"] * I["inv_rho"]
+        inv_j = J["inv_rho"] * J["inv_rho"]
+        Ssum = I["S"] * inv_i[None, None] + J["S"] * inv_j[None, None]
+        f_dev = (mi * mj * wfd)[None] * _xdot_tensor(dx, Ssum)
+        f = f + jnp.where(I["solid"][None], f_dev, 0.0)
+    return jnp.sum(f, axis=-2)
+
+
+def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, notself, acc, seed=0, pbc=(), defer_elastic_forces=False):
     """Accumulate all sweep-1/2 terms for one stencil offset into ``acc``.
 
     Pair blocks are [ci, cj, NC] (components leading); reductions are over
@@ -417,6 +449,11 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
     pairs (h, eta, hc, kap, kss) — the jnp driver gathers them from the
     Params tables; the Pallas driver builds them with select chains
     (dynamic gathers are not available inside Mosaic kernels).
+
+    ``defer_elastic_forces``: drop the artificial-stress and deviatoric
+    force terms — the rowloop kernel evaluates them in the window-gated
+    elastic pass instead (`_pass_a_elastic_f_offset`); only valid when
+    ``cfg.elastic_present`` (the caller must add that pass's contribution).
     """
     f32 = I["x"].dtype
     dim = cfg.dim
@@ -492,7 +529,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
 
     # artificial-stress force (:486-494): fa[m] = mi mj wfd (wf/wdelta)^4
     #   * sum_k dx[k] (AS_i[k,m] + AS_j[k,m])
-    if cfg.solids_present:
+    if cfg.solids_present and not defer_elastic_forces:
         as_coef = mi * mj * wfd * (wf * coeffs["inv_wdelta"]) ** 4
         if cfg.elastic_present:
             xdotAS = _xdot_tensor(dx, I["AS"] + J["AS"])
@@ -510,7 +547,7 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
 
     if cfg.solids_present and cfg.free_solids_present:
         # solid-branch force (:504-529)
-        if cfg.elastic_present:
+        if cfg.elastic_present and not defer_elastic_forces:
             inv_i = I["inv_rho"] * I["inv_rho"]
             inv_j = J["inv_rho"] * J["inv_rho"]
             Ssum = I["S"] * inv_i[None, None] + J["S"] * inv_j[None, None]

@@ -77,14 +77,26 @@ def _default_rowloop(geom) -> bool:
     return geom.dim >= 3 or geom.base_occ == 0 or geom.cap > 24
 
 
-def _kernel_block(geom, block: int = 0) -> int:
-    """Lane-block size: user block or the size-aware default, raised to
-    cover the ghosted stencil reach."""
+def _kernel_block(geom, block: int = 0, rowloop: bool | None = None) -> int:
+    """Lane-block size: user block or the shape-aware default, raised to
+    cover the ghosted stencil reach.
+
+    Small 2D grids split by kernel shape (A/B on real TPU, round 3, same
+    methodology both sides): the grouped kernel wants 256 (cavity N=200
+    58.5M at 256 vs 52.8M at 128; convection 54.2M vs 47.8M) while the
+    rowloop kernel wants 128 (fsi nx=60 9.44M at 128 vs 7.37M at 256 —
+    its per-i-tile VMEM staging scales with BLK, so smaller blocks keep
+    the gated j/elastic passes cheap; polar is flat).  Large grids keep
+    768 (2% faster at 1M particles, amortized pipelining)."""
     if block <= 0:
         if geom.dim >= 3:
             block = 128
+        elif geom.ncells_total >= 50_000:
+            block = 768
         else:
-            block = 768 if geom.ncells_total >= 50_000 else 256
+            if rowloop is None:
+                rowloop = _default_rowloop(geom)
+            block = 128 if rowloop else 256
     return max(block, _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
 
 
@@ -319,8 +331,8 @@ def _call_padded(
     )
 
     from sph_bvf_tpu.ops.pair import (
-        _bc, _pass_a_dS_offset, _pass_a_offset, coeff_tables,
-        used_table_names,
+        _bc, _pass_a_dS_offset, _pass_a_elastic_f_offset, _pass_a_offset,
+        coeff_tables, used_table_names,
     )
 
     tab_dict = coeff_tables(params, cfg)
@@ -373,6 +385,8 @@ def _call_padded(
     if rowloop and occ is None:
         raise ValueError("rowloop kernel needs the occupancy vector")
     gate_ds = rowloop and cfg.elastic_present and eflag is not None
+    # the deferred elastic-force pass additionally needs f_art to exist
+    gate_fel = gate_ds and cfg.solids_present
 
     def kernel(*refs):
         i = 0
@@ -490,7 +504,11 @@ def _call_padded(
             # elastic configs: the Jaumann dS block (~24% of the fsi pass A
             # op budget, measured round 3) moves out of the main loop into
             # the gated second pass below, entered only for blocks holding
-            # an i with nonzero elastic response — exact, see _pass_a_dS
+            # an i with nonzero elastic response — exact, see _pass_a_dS.
+            # The artificial-stress and deviatoric forces (~25% more) move
+            # into a third pass gated on the window-folded flag (they read
+            # elastic content from j lanes too) — exact, see
+            # _pass_a_elastic_f_offset.
             al_main = [e for e in al if not (gate_ds and e[0] == "dS")]
 
             def stage_I(r0):
@@ -563,7 +581,7 @@ def _call_padded(
                         acc = _pass_a_offset(
                             I, J, coeffs, params, cfg, dt_k, step_k,
                             notself_for(off, r0, j0), acc, seed=seed_k,
-                            pbc=pbc,
+                            pbc=pbc, defer_elastic_forces=gate_fel,
                         )
                     return acc
 
@@ -609,6 +627,44 @@ def _call_padded(
                         return carry
 
                     jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body_ds, 0)
+
+                if not gate_fel:
+                    return
+                # deferred elastic forces (f_art + selected f_dev), dropped
+                # from the main loop by defer_elastic_forces: exactly zero
+                # unless an elastic lane is in this block's stencil window
+                # (scalar row 3), so non-window blocks skip ~25% of the
+                # main-loop op budget for free
+                rf0, rf1 = arow["f"]
+
+                @pl.when(occmax_ref[3, b] != 0)
+                def _():
+                    def body_f(t, carry):
+                        r0 = pl.multiple_of(t * TI, TI)
+                        I = stage_I(r0)
+
+                        def jbody_f(jt, accf):
+                            j0 = pl.multiple_of(jt * TI, TI)
+                            jwin = stage_jwin(j0)
+                            for off in offsets:
+                                J = jfields(jwin, off)
+                                coeffs = coeff_for(I["ptype"], J["ptype"])
+                                accf = accf + _pass_a_elastic_f_offset(
+                                    I, J, coeffs, cfg,
+                                    notself_for(off, r0, j0), pbc=pbc,
+                                )
+                            return accf
+
+                        accf = jax.lax.fori_loop(
+                            0, (occ3 + TI - 1) // TI, jbody_f,
+                            jnp.zeros((3, TI, BLK), jnp.float32),
+                        )
+                        out_ref[rf0:rf1, pl.dslice(r0, TI), :] = (
+                            out_ref[rf0:rf1, pl.dslice(r0, TI), :] + accf
+                        )
+                        return carry
+
+                    jax.lax.fori_loop(0, (occmax + TI - 1) // TI, body_f, 0)
             return
 
         acc0 = acc_for_ibuf(
@@ -689,10 +745,36 @@ def _call_padded(
                 occ3 = occ3.at[0].set(cap).at[-1].set(cap)
         rows = [occmax, occ3]
         if gate_ds:
-            # per-block elastic-i presence: i-tiles come from this block's
-            # own (mid) lanes only, so no neighbor folding is needed
+            # row 2 — per-block elastic-i presence (the dS pass gate):
+            # i-tiles come from this block's own (mid) lanes only, so no
+            # neighbor folding is needed
             efp = jnp.pad(eflag, (0, NC_pad - NC_lanes))
-            rows.append(jnp.max(efp.reshape(grid, BLK), axis=1))
+            eb = jnp.max(efp.reshape(grid, BLK), axis=1)
+            rows.append(eb)
+            # row 3 — window-folded elastic presence (the deferred
+            # elastic-force pass gate): f_art/f_dev read j lanes from the
+            # 3-block window, so fold neighbors with the same edge
+            # semantics as occ3 above
+            if occ_edge == "wrap":
+                ew = jnp.maximum(
+                    eb, jnp.maximum(jnp.roll(eb, 1), jnp.roll(eb, -1))
+                )
+                mo = min(halo_mod.max_flat_offset(geom), NC_lanes)
+                ew = ew.at[0].max(jnp.max(eflag[NC_lanes - mo:]))
+            else:
+                z = jnp.zeros((1,), eb.dtype)
+                ew = jnp.maximum(
+                    eb,
+                    jnp.maximum(
+                        jnp.concatenate([z, eb[:-1]]),
+                        jnp.concatenate([eb[1:], z]),
+                    ),
+                )
+                if occ_edge == "cap":
+                    # a sharded neighbor's halo slab: elastic content
+                    # unknown here — assume present
+                    ew = ew.at[0].set(1).at[-1].set(1)
+            rows.append(ew)
         occ2 = jnp.stack(rows, axis=0)
     scalars = ([meta] if meta is not None else []) + (
         [occ2] if need_occmax else []
@@ -1137,10 +1219,15 @@ def _unpack_accs(out: jax.Array, params: Params, cfg, cap: int, NC: int):
 
 
 def _elastic_lanes(PFg: jax.Array, params: Params, cfg, fl) -> jax.Array:
-    """[NC] i32: lanes whose cells hold a valid solid i with nonzero
-    elastic response (G0 > 0 or S != 0).  For every other i the Jaumann
+    """[NC] i32: lanes whose cells hold a valid solid with nonzero elastic
+    response (G0 > 0, S != 0, or AS != 0).  For every other i the Jaumann
     dS term is EXACTLY zero (see _pass_a_dS), so the rowloop kernel skips
-    the whole dS pass on blocks where this is all-zero."""
+    the dS pass on blocks where this is all-zero; and for every PAIR whose
+    window holds no such lane, the artificial-stress and deviatoric forces
+    are exactly zero too (AS != 0 needs solid & tensile total stress —
+    included here for the non-abs_p variants where that can happen with
+    S == 0 — and f_dev needs S on one side), so the window-folded flag
+    gates the deferred elastic-force pass (`_pass_a_elastic_f_offset`)."""
     fr = _row_ranges(fl)
 
     def row(name):
@@ -1154,6 +1241,8 @@ def _elastic_lanes(PFg: jax.Array, params: Params, cfg, fl) -> jax.Array:
     else:
         g0 = params.G0[row("ptype")[0].astype(jnp.int32)] > 0
     s_nz = jnp.any(row("S") != 0, axis=0)
+    if "AS" in fr:  # staged only when solids_present (f_art exists at all)
+        s_nz = s_nz | jnp.any(row("AS") != 0, axis=0)
     lane = jnp.any(valid & solid & (g0 | s_nz), axis=0)
     return lane.astype(jnp.int32)
 
@@ -1177,11 +1266,10 @@ def pass_a_pallas(
 ) -> Dict[str, jax.Array]:
     """Run pass A as one Pallas kernel; returns the accumulator dict.
 
-    Default block: 256 lanes in 2D — 768 is ~2% faster at 1M particles but
-    20% slower at 11k (few coarse blocks pipeline poorly and pad more), so
-    the large size only kicks in on big grids; 128 in 3D, where per-op vreg
-    counts are ~8x larger and bigger blocks push Mosaic's fully-unrolled
-    lowering past a 30-minute compile.
+    Default block: shape-aware, see ``_kernel_block`` (768 on big 2D
+    grids, 256/128 on small grouped/rowloop grids; 128 in 3D, where
+    per-op vreg counts are ~8x larger and bigger blocks push Mosaic's
+    fully-unrolled lowering past a 30-minute compile).
     """
     meta = _thermal_meta(dt, step, seed) if cfg.thermal else None
     if geom.dim >= 3:
@@ -1191,7 +1279,7 @@ def pass_a_pallas(
     if rowloop is None:
         rowloop = _default_rowloop(geom)
     NC, cap = geom.ncells_total, geom.cap
-    BLK = _kernel_block(geom, block)
+    BLK = _kernel_block(geom, block, rowloop)
     max_off = halo_mod.max_flat_offset(geom)
 
     fl = _field_layout(params, cfg)
@@ -1281,7 +1369,7 @@ def pass_a_sharded(
             f"reach {max_off} — the nearest-neighbor halo exchange cannot "
             f"cover it; use fewer shards or a larger grid"
         )
-    BLK = _kernel_block(geom, block)
+    BLK = _kernel_block(geom, block, rowloop)
     NC_pad = _round_up(NC_loc, BLK)
 
     def local(PFl):

@@ -39,13 +39,27 @@ from sph_bvf_tpu.ops.pair_pallas import (
 )
 
 
+def _seed_S(state, scale=0.01, seed=7):
+    """Nonzero symmetric deviatoric stress on solid slots, so the
+    elastic-gated kernel passes (dS + the deferred f_art/f_dev force pass)
+    have real work at the wrap/sharded seams instead of comparing exact
+    zeros (a fresh setup() state has S = 0 everywhere)."""
+    rng = np.random.default_rng(seed)
+    S9 = rng.standard_normal((3, 3) + state.rho.shape).astype("float32")
+    S9 = (S9 + np.swapaxes(S9, 0, 1)) * scale
+    S9[2, :] = 0.0
+    S9[:, 2] = 0.0
+    mask = np.asarray(state.valid & (state.solid_tag == 1))
+    return dataclasses.replace(state, S=jnp.asarray(S9 * mask))
+
+
 @pytest.fixture(scope="module")
 def fsi_state():
     """Periodic-x channel (boundary p f p) — wrapped-halo path."""
     state, params, spec, _ = fsi.build(nx=12, rebin_every=5,
                                        ncx_multiple_of=8)
     state = setup(state, params, spec, dt=1e-8)
-    return state, params, spec
+    return _seed_S(state), params, spec
 
 
 @pytest.fixture(scope="module")
@@ -54,7 +68,7 @@ def polar_state():
     state, params, spec, _ = cell_polarization.build(nx=24, rebin_every=5,
                                                      ncx_multiple_of=8)
     state = setup(state, params, spec, dt=1e-10)
-    return state, params, spec
+    return _seed_S(state), params, spec
 
 
 def _assert_accs_match(state, params, geom, cfg, acc, tol=5e-6):
@@ -99,7 +113,7 @@ def fsi_state24():
     state, params, spec, _ = fsi.build(nx=24, rebin_every=5,
                                        ncx_multiple_of=8)
     state = setup(state, params, spec, dt=1e-8)
-    return state, params, spec
+    return _seed_S(state), params, spec
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
