@@ -148,6 +148,24 @@ def _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC):
     return new_fields
 
 
+def _rebin_gated(cap: int) -> bool:
+    """Route large caps through occupancy-gated slot tiles.
+
+    The static walk fully unrolls ``cap x 9`` crossbar row-bodies; at
+    cap 47 (fsi-like scenes) that program stalls Mosaic compilation
+    (>580s with no output, measured at BLK 128 and 768 on v5e), so any
+    eligible scene (NC >= 3000) with a crowded cap would hit a compile
+    cliff.  The gated path walks source slots in 8-row sublane tiles
+    inside a ``fori_loop`` with a dynamic trip count from the window
+    occupancy: it compiles in normal time (~2.9 ms/move at fsi60
+    geometry) and skips rows above the real occupancy (~9-16 at the
+    cap-35/47 models, a 2-3x candidate cut).  At cap <= 16 the tile
+    quantization (ceil(occ/8) tiles of 8 rows) can only match or exceed
+    the static walk (e.g. cavity cap 14 / occ 9 -> 16 gated rows vs 14
+    static), so small caps keep the fully-unrolled loop."""
+    return cap > 16
+
+
 def _move_call(
     PFp: jax.Array,
     PIp: jax.Array,
@@ -167,10 +185,23 @@ def _move_call(
     kernel cannot close over.  Sharded callers must split on x-aligned
     slabs (``NC_loc`` a multiple of the x stride) so the in-kernel cy/cz
     decomposition of the global id stays exact.
+
+    Large caps (`_rebin_gated`) walk source-slot rows in 8-row sublane
+    tiles inside a ``fori_loop`` whose trip count comes from a per-block
+    window occupancy bound (scalar-prefetch row, computed from the
+    assembled buffer itself so halo/wrap content is included exactly):
+    slots are packed (the crossbar compacts at every rebin and validity
+    never changes between rebins), so every valid candidate in the window
+    sits below the bound and the gating is exact — same candidate order,
+    identical slot assignment.
     """
     import numpy as np
 
     cap = geom.cap
+    gated = _rebin_gated(cap)
+    capk = _round_up(cap, 8) if gated else cap
+    if gated and capk != PFp.shape[1]:
+        raise ValueError("gated rebin needs sublane-padded buffers")
     ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
     sgx, sgy, sgz = halo_mod.ghosted_strides(geom)
     ga = halo_mod.ghost_axes(geom)
@@ -191,10 +222,14 @@ def _move_call(
     # where the f64 python constant is rounded at trace time
     inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
 
-    def kernel(gb_ref, fl, fm, fr, il, im, ir, outf_ref, outi_ref):
+    def kernel(*refs):
+        if gated:
+            gb_ref, occw_ref = refs[0], refs[1]
+            fl, fm, fr, il, im, ir, outf_ref, outi_ref = refs[2:]
+        else:
+            gb_ref = refs[0]
+            fl, fm, fr, il, im, ir, outf_ref, outi_ref = refs[1:]
         b = pl.program_id(0)
-        buf_f = jnp.concatenate([fl[:], fm[:], fr[:]], axis=-1)
-        buf_i = jnp.concatenate([il[:], im[:], ir[:]], axis=-1)
 
         g = gb_ref[0] + b * BLK + jax.lax.broadcasted_iota(
             jnp.int32, (1, BLK), 1
@@ -202,15 +237,17 @@ def _move_call(
         cz = g % ngz
         cy = (g // sgy) % ngy
 
-        accF = jnp.zeros((Ff, cap, BLK), jnp.float32)
-        accI = jnp.zeros((Fi, cap, BLK), jnp.int32)
+        accF = jnp.zeros((Ff, capk, BLK), jnp.float32)
+        accI = jnp.zeros((Fi, capk, BLK), jnp.int32)
         cnt = jnp.zeros((1, BLK), jnp.int32)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (capk, 1), 0)
 
-        for s_old in range(cap):
+        def row_body(bf, bi, r, accF, accI, cnt):
+            """All stencil candidates of one source slot row ``r`` of the
+            staged window ``bf``/``bi`` ([F, rows, 3*BLK])."""
             for off_flat, off in offs:
                 sl = slice(BLK + off_flat, 2 * BLK + off_flat)
-                vj = buf_i[0:1, s_old, sl] != 0  # [1, BLK]
+                vj = bi[0:1, r, sl] != 0  # [1, BLK]
                 # inner-axis bounds only; x is governed by halo content
                 for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
                     if o != 0:
@@ -225,7 +262,7 @@ def _move_call(
                 ):
                     if n == 1:
                         continue
-                    xa = buf_f[xr + ax : xr + ax + 1, s_old, sl]
+                    xa = bf[xr + ax : xr + ax + 1, r, sl]
                     ci = jnp.floor((xa - lo[ax]) * inv[ax]).astype(jnp.int32)
                     if geom.periodic[ax]:
                         ci = jnp.remainder(ci, n)
@@ -235,46 +272,92 @@ def _move_call(
                         ci = ci + 1
                     ncell = ncell + ci * s
                 match = vj & (ncell == g)  # [1, BLK]
-                sel = match & (cnt == iota_s)  # [cap, BLK]
+                sel = match & (cnt == iota_s)  # [capk, BLK]
                 accF = jnp.where(
-                    sel[None], buf_f[:, s_old, sl][:, None, :], accF
+                    sel[None], bf[:, r, sl][:, None, :], accF
                 )
                 accI = jnp.where(
-                    sel[None], buf_i[:, s_old, sl][:, None, :], accI
+                    sel[None], bi[:, r, sl][:, None, :], accI
                 )
                 cnt = cnt + match.astype(jnp.int32)
+            return accF, accI, cnt
+
+        if gated:
+            TI = 8
+
+            def tile_body(t, carry):
+                accF, accI, cnt = carry
+                s0 = pl.multiple_of(t * TI, TI)
+                bf = jnp.concatenate(
+                    [fl[:, pl.dslice(s0, TI), :],
+                     fm[:, pl.dslice(s0, TI), :],
+                     fr[:, pl.dslice(s0, TI), :]], axis=-1
+                )
+                bi = jnp.concatenate(
+                    [il[:, pl.dslice(s0, TI), :],
+                     im[:, pl.dslice(s0, TI), :],
+                     ir[:, pl.dslice(s0, TI), :]], axis=-1
+                )
+                for r in range(TI):
+                    accF, accI, cnt = row_body(bf, bi, r, accF, accI, cnt)
+                return accF, accI, cnt
+
+            trips = (occw_ref[b] + TI - 1) // TI
+            accF, accI, cnt = jax.lax.fori_loop(
+                0, trips, tile_body, (accF, accI, cnt)
+            )
+        else:
+            buf_f = jnp.concatenate([fl[:], fm[:], fr[:]], axis=-1)
+            buf_i = jnp.concatenate([il[:], im[:], ir[:]], axis=-1)
+            for s_old in range(cap):
+                accF, accI, cnt = row_body(
+                    buf_f, buf_i, s_old, accF, accI, cnt
+                )
 
         outf_ref[...] = accF
         outi_ref[...] = accI
 
     spec = lambda F, shift: pl.BlockSpec(
-        (F, cap, BLK), lambda b, *_: (0, 0, b + shift),
+        (F, capk, BLK), lambda b, *_: (0, 0, b + shift),
         memory_space=pltpu.VMEM,
     )
     gb = jnp.asarray(g_base, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    scalars = [gb]
+    if gated:
+        # exact per-block source-slot bound: max cell occupancy over every
+        # lane a block's 3-block window can read, computed from the
+        # assembled buffer (halo/wrap/ghost content included by
+        # construction — no edge special cases)
+        occp = jnp.sum((PIp[0] != 0).astype(jnp.int32), axis=0)
+        occb = jnp.max(occp.reshape(grid + 2, BLK), axis=1)
+        occw = jnp.maximum(occb[:-2], jnp.maximum(occb[1:-1], occb[2:]))
+        scalars.append(occw.astype(jnp.int32))
+    outf, outi = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=(grid,),
             in_specs=[spec(Ff, 0), spec(Ff, 1), spec(Ff, 2),
                       spec(Fi, 0), spec(Fi, 1), spec(Fi, 2)],
             out_specs=[
-                pl.BlockSpec((Ff, cap, BLK), lambda b, *_: (0, 0, b),
+                pl.BlockSpec((Ff, capk, BLK), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Fi, cap, BLK), lambda b, *_: (0, 0, b),
+                pl.BlockSpec((Fi, capk, BLK), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Ff, cap, NC_pad), jnp.float32),
-            jax.ShapeDtypeStruct((Fi, cap, NC_pad), jnp.int32),
+            jax.ShapeDtypeStruct((Ff, capk, NC_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Fi, capk, NC_pad), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(gb, PFp, PFp, PFp, PIp, PIp, PIp)
+    )(*scalars, PFp, PFp, PFp, PIp, PIp, PIp)
+    if capk != cap:
+        outf, outi = outf[:, :cap], outi[:, :cap]
+    return outf, outi
 
 
 def _move_call_tiled3d(
@@ -636,6 +719,10 @@ def move_pallas(
     max_off = halo_mod.max_flat_offset(geom)
     BLK = max(block, _round_up(max_off + 1, 128))
 
+    if _rebin_gated(cap):
+        capk = _round_up(cap, 8)
+        PF = jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0)))
+        PI = jnp.pad(PI, ((0, 0), (0, capk - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
     PIg = halo_mod.add_ghosts(PI, geom)
     NCg = PFg.shape[-1]
@@ -687,6 +774,10 @@ def move_pallas_sharded(
         block = 768
     max_off = halo_mod.max_flat_offset(geom)
     BLK = max(block, _round_up(max_off + 1, 128))
+    if _rebin_gated(cap):
+        capk = _round_up(cap, 8)
+        PF = jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0)))
+        PI = jnp.pad(PI, ((0, 0), (0, capk - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
     PIg = halo_mod.add_ghosts(PI, geom)
     NCg = PFg.shape[-1]
