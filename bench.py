@@ -217,7 +217,12 @@ def main():
         backend=jax.devices()[0].platform,
         backend_note=_BACKEND,
     )
+    # emit a parsable line BEFORE any device execution: the tunneled
+    # backend can pass device init yet wedge on the first real dispatch
+    # (seen 2026-08-19), and the parity check below is the first one
+    emit()
     if on_tpu:
+        _OUT["parity"] = "RUNNING (wedged here if this is the last line)"
         try:
             _OUT["parity"] = _parity_check()
         except Exception as e:
