@@ -112,8 +112,13 @@ class LmpModel:
         return self.scene.build()
 
     def run(self, max_steps: Optional[int] = None, out_dir: str = ".",
-            callback=None, thermo=True):
-        """Build and run, honoring dump/thermo cadence (output.cpp analog)."""
+            callback=None, thermo=True, log_file: Optional[str] = None):
+        """Build and run, honoring dump/thermo cadence (output.cpp analog).
+
+        ``log_file`` mirrors the reference's `-log` CLI flag
+        (lammps.cpp:112-192): thermo rows are appended there as well as
+        printed to the screen.
+        """
         from sph_bvf_tpu.core.stepper import setup, simulate
         from sph_bvf_tpu.io.vtk import write_vtk
         from sph_bvf_tpu.core.state import gather_particles
@@ -144,7 +149,7 @@ class LmpModel:
         cb_every = g if g % chunk == 0 else chunk
         logger = (
             ThermoLogger(params, columns=self.thermo_columns,
-                         dim=self.scene.dim)
+                         dim=self.scene.dim, file=log_file)
             if thermo
             else None
         )

@@ -40,6 +40,7 @@ boundary (force_clear, atom_vec_ssa_tsdpd_atomic.cpp:391-424).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -605,6 +606,11 @@ def _neutralize_invalid(state: State) -> State:
 # Host-side construction from flat particle arrays
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("geom",))
+def _initial_bin(state: State, geom: Geometry) -> State:
+    """Build-time first binning as a single compiled program (jnp spec path)."""
+    return rebin(state, geom, use_pallas=False)
+
 def host_cpu_device():
     """The host CPU device, for eager scene-building work.
 
@@ -673,8 +679,10 @@ def state_from_particles(
         groupmask=put(st.groupmask, np.full(n, GROUP_ALL, np.int32)),
     )
     # the pre-binning slot packing is arbitrary (first n flat slots), so the
-    # locality-based Pallas move cannot apply — force the global sort path
-    st = rebin(st, geom, use_pallas=False)
+    # locality-based Pallas move cannot apply — force the global sort path.
+    # One jitted program: eager op-by-op dispatch of the sort+gather spec
+    # costs ~20s of host time at 1M particles (measured, 3D N=100 build).
+    st = _initial_bin(st, geom)
     # the pre-binning slot assignment is arbitrary; only drift AFTER the
     # first real binning is meaningful
     st = dataclasses.replace(st, drift_violation=jnp.zeros((), jnp.int32))

@@ -116,3 +116,20 @@ def test_all_reference_scripts_parse():
             model = parse_script(f.read())
         assert model.nsteps > 0 and model.dt > 0, path
         assert model.scene.ntypes > 0 and len(model.scene._x) > 0, path
+
+
+def test_cli_main(tmp_path):
+    """`python -m sph_bvf_tpu` mirrors the reference CLI (lammps.cpp:112-192)."""
+    from sph_bvf_tpu.__main__ import main
+
+    script = tmp_path / "mini.lmp"
+    script.write_text(SYNTHETIC)
+    log = tmp_path / "log.mini"
+    rc = main([
+        "-in", str(script), "-var", "nx", "10", "-log", str(log),
+        "-echo", "screen", "-sf", "omp",
+        "--max-steps", "10", "--out", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "out" / "out*.vtk"))
+    assert "steps/s" in log.read_text()  # thermo rows reached the -log file
