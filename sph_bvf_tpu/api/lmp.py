@@ -107,6 +107,8 @@ class LmpModel:
     thermo_columns: Optional[List[str]] = None
     # `restart N file` (output.cpp:86-91): (every, path template with *)
     restart_spec: Optional[tuple] = None
+    # `read_restart file` (read_restart.cpp): checkpoint to resume from
+    read_restart_path: Optional[str] = None
 
     def build(self):
         return self.scene.build()
@@ -125,6 +127,11 @@ class LmpModel:
         from sph_bvf_tpu.utils.thermo import ThermoLogger
 
         state, params, spec = self.scene.build()
+        if self.read_restart_path is not None:
+            from sph_bvf_tpu.io import checkpoint
+
+            # geometry-fingerprint-validated; step/RNG continue from the file
+            state = checkpoint.load(self.read_restart_path, spec.geom)
         state = setup(state, params, spec, dt=self.dt)
         nsteps = self.nsteps if max_steps is None else min(self.nsteps, max_steps)
         os.makedirs(out_dir, exist_ok=True)
@@ -336,6 +343,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
     thermo_columns = None
     nsteps = 0
     restart_spec = None
+    read_restart_path = None
     dt = None
     integ_set = False
 
@@ -580,6 +588,13 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
             # restart N file (output.cpp:86-91); N=0 disables
             every = int(num(args[0]))
             restart_spec = (every, args[1]) if every > 0 else None
+        elif cmd == "read_restart":
+            # read_restart file (read_restart.cpp): resume from a checkpoint.
+            # Unlike the reference (which restores the whole system from the
+            # file), the scene commands stay in the script — the checkpoint
+            # replaces the *initial particle state*, geometry-validated
+            # against the rebuilt scene.  `run N` then runs N more steps.
+            read_restart_path = args[0]
         elif cmd in ("log", "echo", "processors", "suffix", "package"):
             pass  # host/process-level directives with no TPU-build analog
         elif cmd == "newton":
@@ -609,6 +624,7 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
         dt=dt,
         variables=dict(ev.values),
         restart_spec=restart_spec,
+        read_restart_path=read_restart_path,
     )
 
 

@@ -133,3 +133,37 @@ def test_cli_main(tmp_path):
     assert rc == 0
     assert glob.glob(str(tmp_path / "out" / "out*.vtk"))
     assert "steps/s" in log.read_text()  # thermo rows reached the -log file
+
+
+def test_read_restart_resumes(tmp_path):
+    """`restart N file` + `read_restart` resume (read_restart.cpp analog)."""
+    import numpy as np
+
+    base = SYNTHETIC.replace("run 1000", "run 20").replace(
+        "dump d1 all vtk 10 out*.vtk id type vx vy vz c_rhoatom c_c0atom", ""
+    )
+    writer = base.replace("thermo 100", "thermo 100\nrestart 10 ck*.npz")
+    model = parse_script(writer)
+    state_a, params, spec = model.run(out_dir=str(tmp_path), thermo=False)
+    ck = tmp_path / "ck10.npz"
+    assert ck.exists() and (tmp_path / "ck20.npz").exists()
+
+    resume = base.replace("run 20", f"read_restart {ck}\nrun 10")
+    model_b = parse_script(resume)
+    state_b, _, _ = model_b.run(out_dir=str(tmp_path / "b"), thermo=False)
+    assert int(state_b.step) == 20
+
+    # resume is deterministic (counter-based RNG rides in the checkpoint)
+    state_c, _, _ = parse_script(resume).run(out_dir=str(tmp_path / "c"),
+                                             thermo=False)
+    for f in ("x", "v", "rho", "C"):
+        np.testing.assert_array_equal(np.asarray(getattr(state_b, f)),
+                                      np.asarray(getattr(state_c, f)))
+
+    # and lands near the uninterrupted run (setup resets vest=v at step 10,
+    # the reference's own fix-setup semantics on a restart —
+    # fix...transport_velocity.cpp:76-95 — so bitwise equality is not expected)
+    # measured: the reset perturbs v by ~0.5% of vmax over the next 10 steps
+    # in this developing-flow scene; gate at 1%
+    va, vb = np.asarray(state_a.v), np.asarray(state_b.v)
+    assert np.max(np.abs(va - vb)) < 1e-2 * max(np.max(np.abs(va)), 1e-12) + 1e-9
