@@ -26,8 +26,13 @@ from sph_bvf_tpu.core.fixes import Forcing
 
 
 def build(nx: int = 100, dt: float = 1e-10, nu: float = 1e-3,
-          rebin_every: int = 10, ncx_multiple_of: int = 1):
-    """Returns (state, params, spec, scene)."""
+          rebin_every: int = 100, ncx_multiple_of: int = 1):
+    """Returns (state, params, spec, scene).
+
+    rebin_every=100: at dt=1e-10 the per-period drift is ~1e-9 of the
+    drift budget (runtime-enforced contract; A/B 2026-08-19: 5.60M vs
+    5.38M particle-steps/s at 10).
+    """
     Lx = Ly = 50e-6
     r_ext = 0.20 * Lx
     r_int = 0.15 * Lx

@@ -22,9 +22,15 @@ from sph_bvf_tpu.core.fixes import Buffer
 
 
 def build(nx: int = 60, dt: float = 1e-8, vo: float = 0.0333, nu: float = 1e-3,
-          E: float = 2e5, Pratio: float = 0.33, rebin_every: int = 10,
+          E: float = 2e5, Pratio: float = 0.33, rebin_every: int = 100,
           tdamp_solid: float = 1e6, ncx_multiple_of: int = 1):
-    """Returns (state, params, spec, scene)."""
+    """Returns (state, params, spec, scene).
+
+    rebin_every=100: drift per period at |v|~vo, dt=1e-8 is ~3e-8 of the
+    box — orders of magnitude under the cell drift budget (the contract
+    is runtime-enforced either way; A/B 2026-08-19: 11.65M vs 10.26M
+    particle-steps/s at 10).
+    """
     Lx, Ly = 300e-6, 100e-6
     Lbz = -50e-6  # buffer-zone extent (inlet sponge)
     n_wall = 3
