@@ -1,9 +1,9 @@
 """Benchmark: model throughput on the available accelerator.
 
 Prints a JSON line after EVERY completed measurement (the driver keeps the
-tail, so a later hang can never erase an earlier number — the round-2
-failure mode).  Top-level keys keep the flagship metric (lid-driven cavity
-Re100 N=200, the reference's own headline config):
+tail, so a later hang can never erase an earlier number).  Top-level keys
+keep the flagship metric (lid-driven cavity Re100, the reference's own
+headline config):
 
   {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N,
    "backend": "tpu", "parity": "ok", "models": {...}}
@@ -11,31 +11,40 @@ Re100 N=200, the reference's own headline config):
 ``models`` adds one entry per paper example — cavity 2D/3D, natural
 convection, fsi, cell polarization — each ratioed against the serial
 reference C++ build running the SAME model on this machine
-(bench_baseline.json; the 3D entry was measured round 3 —
-/tmp/cav3d/run_nx50.log — replacing the earlier convention of ratioing
-3D against the 2D flagship rate, which overstated the baseline ~6.5x:
-3D has 37.9 neighbors/atom vs 2D's ~10).
+(bench_baseline.json; the 3D entry has its own honest 3D serial baseline).
 
-Robustness (round-3 verdict item #1):
-  * A subprocess probes TPU/device init with a timeout first; if the
-    tunneled backend hangs (as it did during round-2 judging), bench.py
-    re-execs itself on the CPU backend and labels the output
-    ``backend: cpu`` instead of producing nothing.
-  * ``BENCH_BUDGET_S`` (default 900) is a wall-clock budget: remaining
-    matrix entries are skipped (recorded as such), never silently lost.
-  * A hard watchdog re-prints the latest JSON and exits 0 shortly after
-    the budget, so an in-flight hang cannot turn into rc=124.
-  * On TPU, a compiled Pallas-vs-jnp parity check runs BEFORE timing; a
-    Mosaic regression shows up as ``parity: FAIL`` instead of a silent
-    jnp-fallback number.
+Wedge-proofing (round-3 verdict item #1 — a zero-value record must be
+impossible):
+  1. The probe subprocess executes a real DISPATCH + READBACK
+     (``float(jnp.sum(...))``), not just device init: the tunneled axon
+     backend has been seen passing ``jax.devices()`` and then wedging on
+     the first dispatch.  A hung probe re-execs bench.py on the CPU
+     backend with an honest ``backend_note`` label.
+  2. Stage 1: a compile-cheap flagship entry (cavity N=50) is measured in
+     its own timeboxed subprocess BEFORE the parent process ever touches
+     the device.  On a cold compilation cache this lands a nonzero value
+     within minutes; if the tunnel wedges mid-measurement the subprocess
+     is killed and bench.py re-execs on CPU.  (The subprocess shares the
+     persistent compilation cache, so a warm run costs seconds.)
+  3. The full flagship (N=200) runs next, INLINE, budget permitting.
+  4. The compiled Pallas-vs-jnp parity check runs AFTER the flagship
+     numbers exist (it is the most compile-heavy stage on a cold cache —
+     the exact round-3 failure had it first, burning the whole budget);
+     when the budget is gone it is recorded as ``skipped (budget)``.
+  5. ``BENCH_BUDGET_S`` (default 900) is a wall-clock budget: remaining
+     matrix entries are skipped (recorded as such), never silently lost;
+     a hard watchdog re-prints the latest JSON and exits 0 shortly after.
 
 Env knobs: BENCH_N (flagship cavity size, default 200), BENCH_CHUNKS
 (flagship timed chunks, default 20), BENCH_MODELS=0 to skip the matrix,
-BENCH_BUDGET_S, BENCH_PROBE_S, BENCH_NO_PROBE=1 to skip the probe.
+BENCH_BUDGET_S, BENCH_PROBE_S, BENCH_NO_PROBE=1 to skip the probe (also
+skips stage 1 — the two-process dance is only safe when the parent has
+not initialised the TPU client), BENCH_STAGE1 (internal: child mode).
 """
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -45,42 +54,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 T_START = time.time()
 
 
-def _probe_backend():
-    """Probe device init in a subprocess; re-exec on CPU if TPU is hung.
+def _cpu_reexec(note):
+    """Re-exec bench.py on the CPU backend with an honest label.
 
-    Returns the backend label to record.  Must run BEFORE importing jax.
+    The axon sitecustomize overrides JAX_PLATFORMS unless its env var is
+    removed, hence the PALLAS_AXON_POOL_IPS pop.
     """
-    if os.environ.get("BENCH_NO_PROBE"):
-        return os.environ.get("BENCH_BACKEND_NOTE", "unprobed")
-    import subprocess
-
-    t = int(os.environ.get("BENCH_PROBE_S", "240"))
-    env = dict(os.environ, BENCH_NO_PROBE="1")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
-            timeout=t, capture_output=True, text=True, env=env,
-        )
-        plat = ""
-        for line in (r.stdout or "").splitlines():
-            if line.startswith("PLATFORM="):
-                plat = line.split("=", 1)[1]
-        ok = r.returncode == 0 and plat
-    except subprocess.TimeoutExpired:
-        ok, plat = False, ""
-    if ok:
-        os.environ["BENCH_NO_PROBE"] = "1"
-        return plat
-    # TPU init hung or crashed: fall back to the CPU backend (the axon
-    # sitecustomize wins over JAX_PLATFORMS unless its env var is gone)
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_NO_PROBE"] = "1"
-    env["BENCH_BACKEND_NOTE"] = "cpu-fallback-tpu-init-hung"
+    env["BENCH_BACKEND_NOTE"] = note
     sys.stdout.flush()
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _probe_backend():
+    """Probe device init AND a real dispatch in a subprocess.
+
+    Returns the backend label to record.  Must run BEFORE importing jax.
+    A wedged tunnel (init hang OR first-dispatch hang) triggers the CPU
+    re-exec so the driver gets a labeled cpu number instead of a zero.
+    """
+    if os.environ.get("BENCH_NO_PROBE"):
+        return os.environ.get("BENCH_BACKEND_NOTE", "unprobed")
+    t = int(os.environ.get("BENCH_PROBE_S", "240"))
+    env = dict(os.environ, BENCH_NO_PROBE="1")
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "print('PLATFORM=' + jax.devices()[0].platform, flush=True)\n"
+        "x = jnp.ones((128, 128))\n"
+        "print('DISPATCH=%g' % float(jnp.sum(x)), flush=True)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=t, capture_output=True, text=True, env=env,
+        )
+        plat, dispatched = "", False
+        for line in (r.stdout or "").splitlines():
+            if line.startswith("PLATFORM="):
+                plat = line.split("=", 1)[1]
+            if line.startswith("DISPATCH=16384"):
+                dispatched = True
+        ok = r.returncode == 0 and plat and dispatched
+    except subprocess.TimeoutExpired:
+        ok, plat = False, ""
+    if ok:
+        return plat
+    _cpu_reexec("cpu-fallback-tpu-probe-failed")
 
 
 _BACKEND = _probe_backend()
@@ -90,7 +112,9 @@ import jax  # noqa: E402
 # Persistent compilation cache (verified working through the axon tunnel):
 # repeat runs at the same tree skip the multi-minute Mosaic/XLA compiles,
 # so the driver's budget-capped capture completes the whole matrix.
-# /root/.cache survives the /tmp wipes between rounds.
+# /root/.cache survives the /tmp wipes between rounds.  NOTE: the cache is
+# keyed to the backend instance — a fresh tunnel incarnation misses on
+# every program (CLAUDE.md), which is exactly why stage 1 exists.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
@@ -140,6 +164,53 @@ def _time_model(build, dt, n_chunks, warmup_chunks=1):
     return n_particles, n_particles * steps / dt_wall
 
 
+def _stage1_child():
+    """Child mode: measure ONE compile-cheap flagship entry, print one
+    JSON line, exit.  The parent parses it; a hang here is killed by the
+    parent's timeout and triggers the CPU re-exec."""
+    from sph_bvf_tpu.models import lid_cavity
+
+    N = int(os.environ.get("BENCH_STAGE1", "50"))
+    n, ps = _time_model(
+        lambda: lid_cavity.build(N=N, Re=100.0, rebin_every=10),
+        dt=None, n_chunks=2,
+    )
+    print(json.dumps({"stage1": True, "N": N, "n": n, "value": round(ps)}),
+          flush=True)
+
+
+if os.environ.get("BENCH_STAGE1"):
+    _stage1_child()
+    sys.exit(0)
+
+
+def _run_stage1(budget_left):
+    """Run the stage-1 subprocess; return its parsed record or None.
+
+    Only called before the parent has initialised the TPU client (one
+    TPU process at a time — concurrent clients look like hangs)."""
+    t = max(120.0, min(600.0, budget_left))
+    env = dict(os.environ, BENCH_NO_PROBE="1", BENCH_STAGE1="50")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=t, capture_output=True, text=True, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        _cpu_reexec("cpu-fallback-tpu-wedged-during-stage1")
+    for line in reversed((r.stdout or "").splitlines()):
+        if line.startswith('{"stage1"'):
+            try:
+                return json.loads(line)
+            except ValueError:
+                break
+    # nonzero rc / no line: a real error, not a wedge — record and let the
+    # parent try inline (the watchdog still bounds a surprise hang)
+    tail = ((r.stderr or "") + (r.stdout or ""))[-300:]
+    _OUT["stage1_error"] = f"rc={r.returncode}: {tail}"
+    return None
+
+
 def _parity_check():
     """Compiled Pallas-vs-jnp parity (verify-skill step 4): the CI suite
     runs the kernels in interpret mode only, so a Mosaic regression would
@@ -177,7 +248,6 @@ def _parity_check():
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     threading.Thread(
         target=_watchdog, args=(budget_s + 420,), daemon=True
@@ -185,11 +255,6 @@ def main():
 
     def left():
         return budget_s - (time.time() - T_START)
-
-    # CPU fallback: the jnp path on one host core — label it and shrink the
-    # default sizes so SOMETHING is recorded inside the budget
-    N = int(os.environ.get("BENCH_N", "200" if on_tpu else "50"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "20" if on_tpu else "3"))
 
     baselines = {}
     flagship_base = 1.1e6  # conservative recorded fallback
@@ -203,43 +268,86 @@ def main():
             for k, v in data.get("models", {}).items()
         }
 
-    from sph_bvf_tpu.models import (  # noqa: E402
-        cell_polarization,
-        fsi,
-        lid_cavity,
-        lid_cavity3d,
-        natural_convection,
-    )
+    # Backend determination WITHOUT initialising the client when the probe
+    # already told us (stage 1 must run before the parent's client exists)
+    if _BACKEND in ("tpu", "axon"):
+        on_tpu, platform_label = True, _BACKEND
+    else:
+        platform_label = jax.devices()[0].platform
+        on_tpu = platform_label in ("tpu", "axon")
+
+    N = int(os.environ.get("BENCH_N", "200" if on_tpu else "50"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "20" if on_tpu else "3"))
 
     _OUT.update(
         metric=f"lid-cavity Re100 N={N} particle-steps/s",
         value=0, unit="particle-steps/s", vs_baseline=0.0,
-        backend=jax.devices()[0].platform,
+        backend=platform_label,
         backend_note=_BACKEND,
     )
-    # emit a parsable line BEFORE any device execution: the tunneled
-    # backend can pass device init yet wedge on the first real dispatch
-    # (seen 2026-08-19), and the parity check below is the first one
+    # a parsable line exists before any device execution
     emit()
-    if on_tpu:
-        _OUT["parity"] = "RUNNING (wedged here if this is the last line)"
+
+    models = _OUT.setdefault("models", {})
+
+    # ---- stage 1: guaranteed-early nonzero number (TPU, probed path only)
+    if on_tpu and not os.environ.get("BENCH_NO_PROBE"):
+        s1 = _run_stage1(left())
+        if s1:
+            base = flagship_base
+            _OUT.update(
+                metric=(f"lid-cavity Re100 N={s1['N']} particle-steps/s "
+                        f"({s1['n']} particles; stage1 — upgraded to "
+                        f"N={N} below if budget allowed)"),
+                value=s1["value"],
+                vs_baseline=round(s1["value"] / base, 2),
+            )
+            models["lid_cavity2d_n50_stage1"] = dict(
+                value=s1["value"], n=s1["n"],
+                vs_baseline=round(s1["value"] / base, 2),
+            )
+            emit()
+
+    # ---- full flagship, inline
+    if left() > 60 or _OUT["value"] == 0:
         try:
-            _OUT["parity"] = _parity_check()
+            n, ps = _time_model(
+                lambda: lid_cavity_mod.build(N=N, Re=100.0, rebin_every=10),
+                dt=None, n_chunks=n_chunks,
+            )
+            _OUT.update(
+                metric=(f"lid-cavity Re100 N={N} particle-steps/s "
+                        f"({n} particles)"),
+                value=round(ps),
+                vs_baseline=round(ps / flagship_base, 2),
+            )
+            models["lid_cavity2d"] = dict(
+                value=round(ps), n=n,
+                vs_baseline=round(ps / flagship_base, 2),
+            )
         except Exception as e:
-            _OUT["parity"] = f"ERROR: {type(e).__name__}: {e}"[:200]
+            models["lid_cavity2d"] = dict(
+                error=f"{type(e).__name__}: {e}"[:200])
+        emit()
+    else:
+        models["lid_cavity2d"] = dict(
+            skipped=f"budget ({budget_s:.0f}s) — stage1 value stands")
         emit()
 
-    n, ps = _time_model(
-        lambda: lid_cavity.build(N=N, Re=100.0, rebin_every=10),
-        dt=None, n_chunks=n_chunks,
-    )
-    _OUT.update(
-        metric=f"lid-cavity Re100 N={N} particle-steps/s ({n} particles)",
-        value=round(ps),
-        vs_baseline=round(ps / flagship_base, 2),
-    )
-    emit()  # the flagship number is now un-losable
+    # ---- parity AFTER the flagship (most compile-heavy stage cold)
+    if on_tpu:
+        if left() > 90:
+            _OUT["parity"] = "RUNNING (wedged here if this is the last line)"
+            emit()
+            try:
+                _OUT["parity"] = _parity_check()
+            except Exception as e:
+                _OUT["parity"] = f"ERROR: {type(e).__name__}: {e}"[:200]
+        else:
+            _OUT["parity"] = "skipped (budget)"
+        emit()
 
+    # ---- model matrix
     if os.environ.get("BENCH_MODELS", "1") != "0":
         # (name, build thunk, dt, timed chunks, baseline key)
         if on_tpu:
@@ -269,11 +377,6 @@ def main():
                  lambda: cell_polarization.build(nx=50), 1e-10, 2,
                  "cell_polarization"),
             ]
-        models = _OUT.setdefault("models", {})
-        models["lid_cavity2d"] = dict(
-            value=round(ps), n=n,
-            vs_baseline=round(ps / flagship_base, 2),
-        )
         for name, build, dt, chunks, key in matrix:
             if left() <= 0:
                 models[name] = dict(skipped=f"budget ({budget_s:.0f}s)")
@@ -294,6 +397,15 @@ def main():
 
     _OUT["elapsed_s"] = round(time.time() - T_START, 1)
     emit()
+
+
+from sph_bvf_tpu.models import (  # noqa: E402
+    cell_polarization,
+    fsi,
+    lid_cavity as lid_cavity_mod,
+    lid_cavity3d,
+    natural_convection,
+)
 
 
 if __name__ == "__main__":

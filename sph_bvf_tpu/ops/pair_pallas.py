@@ -39,8 +39,12 @@ Shards must be x-aligned slabs (nx divisible by the mesh size): the
 in-kernel cy/cz decomposition of the lane index assumes every shard starts
 on an x-column boundary.
 
-Eligibility (falls back to the jnp path otherwise): f32 state, no thermal
-noise, no SSA species, VMEM-bounded halo blocks, and a TPU backend.
+Eligibility (falls back to the jnp path otherwise): f32 state, no SSA
+species, VMEM-bounded halo blocks, and a TPU backend.  SDPD thermal noise
+IS kernel-supported (pair-symmetric counter noise, round 2).  SSA configs
+take the jnp path because the Qd hop draws need per-pair RNG streams keyed
+by species state — see MIGRATING.md "SSA performance note"; even the jnp
+fallback beats the serial reference ~73x on the polarization model.
 """
 
 from __future__ import annotations

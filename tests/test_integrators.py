@@ -169,12 +169,15 @@ def _zhang_final(s, acc, dt, step, freq_filter):
                     2.0 * vws + aws * dt - s["v"][i]
                     + 2.0 * max(0.0, vdot) * en
                 )
-            # :357-361 Zhang density experiment (sic inverted aux ratio)
+            # :357-361 Zhang density experiment (sic inverted aux ratio).
+            # 0/0 -> nan here replicates the reference exactly; silence the
+            # EXPECTED warning so a *new* divide warning elsewhere is signal.
             if step % freq_filter == 0:
-                s["rho"][i] = (
-                    acc["rhoAux2"][i] / min(acc["rhoAux1"][i], 1.0)
-                    + dtf * acc["drho"][i]
-                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s["rho"][i] = (
+                        acc["rhoAux2"][i] / min(acc["rhoAux1"][i], 1.0)
+                        + dtf * acc["drho"][i]
+                    )
             else:
                 s["rho"][i] = s["rhoI"][i] + dt * acc["drho"][i]
         else:
