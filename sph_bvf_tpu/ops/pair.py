@@ -110,6 +110,10 @@ class PairConfig:
     rng_seed: int = 0
     # truncation order of the per-pair hop-count Poisson (core/ssa.py)
     ssa_poisson_terms: int = 6
+    # SSA configs on TPU: run the mechanics through the Pallas kernel and
+    # the Qd hop draws in a separate jnp pass (`_pass_a_qd`).  False keeps
+    # the whole pair pass on the jnp path (the round-3 behavior).
+    ssa_kernel_split: bool = True
     # coefficient tables (coeff_tables) whose [T, T] entries are all equal —
     # computed by Scene.build from the concrete pair_coeff values.  The pair
     # drivers collapse these to a scalar broadcast instead of a per-pair
@@ -304,13 +308,17 @@ def coeff_tables(params: Params, cfg: PairConfig):
     return out
 
 
-def used_table_names(params: Params, cfg: PairConfig) -> tuple:
+def used_table_names(params: Params, cfg: PairConfig, ssa: bool = True) -> tuple:
     """The coeff_tables entries `_pass_a_offset` actually reads under this
     config.  The Pallas drivers build select chains only for these (Mosaic
     cannot DCE an unused chain the way XLA drops an unused gather), and the
-    jnp driver skips the dead pair-shaped gathers."""
+    jnp driver skips the dead pair-shaped gathers.
+
+    ``ssa=False`` (the Pallas drivers): the Qd hop draws run in the
+    separate jnp pass (`_pass_a_qd`), so the species-transport tables are
+    staged in-kernel only when the deterministic Q path needs them."""
     names = ["h", "inv_h", "eta"]
-    if params.n_sdpd > 0 or params.n_ssa > 0:
+    if params.n_sdpd > 0 or (params.n_ssa > 0 and ssa):
         names += ["hc", "inv_hc", "m_harm"]
     if cfg.solids_present:
         names.append("inv_wdelta")
@@ -614,7 +622,11 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
         acc["nw"] += jnp.sum((fs * wfd * Vj2)[None] * dx, axis=RED)
 
     # species transport, Tartakovsky 2007 (:677-731); separate cutoff cutc.
-    if params.n_sdpd > 0 or params.n_ssa > 0:
+    # The "Qd" key check mirrors the "dS" one: the Pallas kernels carry no
+    # Qd accumulator — their SSA configs draw the hops in the separate jnp
+    # pass `_pass_a_qd` (bit-identical streams via `_qd_hops`).
+    want_qd = params.n_ssa > 0 and "Qd" in acc
+    if params.n_sdpd > 0 or want_qd:
         hc = coeffs["hc"]
         wfd_c = lucy_wfd_ih(r, coeffs["inv_hc"], dim) * mask
         # (rhoi+rhoj)/(rhoi rhoj) == 1/rhoi + 1/rhoj; m_i m_j/(m_i+m_j) is a
@@ -642,26 +654,78 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
 
     # stochastic diffusion hops (core/ssa.py; reference fills the D-matrix
     # here and runs a serial Gillespie afterwards, :721-809)
-    if params.n_ssa > 0:
-        from sph_bvf_tpu.core.ssa import pair_hop_counts
-
-        kss = coeffs["kss"]  # [Nssa, ci, cj, NC]
-        lam = kss * (-dQc_base)[None] * dt  # per-molecule hop prob rate
-        sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
-            (params.n_ssa,) + (1,) * dQc_base.ndim
-        )
-        seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(seed, jnp.uint32)
-        n_out = pair_hop_counts(
-            lam * I["Cd"].astype(f32), seed_w, step,
-            I["tag"], J["tag"], sp, cfg.ssa_poisson_terms,
-        )
-        n_in = pair_hop_counts(
-            lam * J["Cd"].astype(f32), seed_w, step,
-            J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
-        )
-        acc["Qd"] += jnp.sum(n_in - n_out, axis=RED).astype(jnp.int32)
+    if want_qd:
+        acc["Qd"] += jnp.sum(
+            _qd_hops(I, J, coeffs, params, cfg, dt, step, seed, dQc_base),
+            axis=RED,
+        ).astype(jnp.int32)
 
     return acc
+
+
+def _qd_hops(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, seed,
+             dQc_base):
+    """Per-offset stochastic hop balance [n_ssa, ci, cj, NC] — the
+    counter-based tau-leap re-derivation of the reference's D-matrix fill +
+    serial Gillespie (pair...transport_velocity.cpp:739-809); the caller
+    reduces over cj.  Shared verbatim between the jnp fallback
+    (`_pass_a_offset`) and the kernel-split Qd pass (`_pass_a_qd`) so both
+    paths draw bit-identical streams."""
+    from sph_bvf_tpu.core.ssa import pair_hop_counts
+
+    f32 = dQc_base.dtype
+    kss = coeffs["kss"]  # [Nssa, ci, cj, NC]
+    lam = kss * (-dQc_base)[None] * dt  # per-molecule hop prob rate
+    sp = jnp.arange(params.n_ssa, dtype=jnp.uint32).reshape(
+        (params.n_ssa,) + (1,) * dQc_base.ndim
+    )
+    seed_w = jnp.uint32(cfg.rng_seed) ^ jnp.asarray(seed, jnp.uint32)
+    n_out = pair_hop_counts(
+        lam * I["Cd"].astype(f32), seed_w, step,
+        I["tag"], J["tag"], sp, cfg.ssa_poisson_terms,
+    )
+    n_in = pair_hop_counts(
+        lam * J["Cd"].astype(f32), seed_w, step,
+        J["tag"], I["tag"], sp, cfg.ssa_poisson_terms,
+    )
+    return n_in - n_out
+
+
+def _pass_a_qd(pf, I, not_diag, params: Params, geom: Geometry,
+               cfg: PairConfig, dt, step, seed, pbc):
+    """Qd-only stencil pass: the SSA hop draws as a slim jnp/XLA loop over
+    the stencil offsets, run AFTER the Pallas kernel computed the mechanics
+    (the kernel split — the draws need per-pair RNG streams keyed by tags
+    and species counts, which would double the kernel's VMEM working set).
+    Reduction order per offset matches the fallback, so Qd is bit-identical
+    to the pure-jnp path."""
+    NC, cap = geom.ncells_total, geom.cap
+    f32 = pf["x"].dtype
+    need = ("x", "valid", "ptype", "inv_rho", "Cd", "tag")
+    qd = jnp.zeros((params.n_ssa, cap, NC), jnp.int32)
+    for off in geom.stencil_offsets():
+        J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in need}
+        notself = not_diag if off == (0, 0, 0) else True
+        coeffs = lookup_pair_coeffs(I["ptype"], J["ptype"], params, cfg)
+        dx = _pair_delta(I["x"], J["x"], pbc)
+        rsq = _dot3(dx, dx)
+        r = jnp.sqrt(rsq)
+        mask = (I["valid"] & J["valid"] & notself).astype(f32)
+        wfd_c = lucy_wfd_ih(r, coeffs["inv_hc"], cfg.dim) * mask
+        hc = coeffs["hc"]
+        dQc_base = (
+            2.0
+            * coeffs["m_harm"]
+            * (I["inv_rho"] + J["inv_rho"])
+            * rsq
+            * wfd_c
+            / (rsq + 0.01 * hc * hc)
+        )
+        qd = qd + jnp.sum(
+            _qd_hops(I, J, coeffs, params, cfg, dt, step, seed, dQc_base),
+            axis=-2,
+        ).astype(jnp.int32)
+    return qd
 
 
 def _thermal_force(I, J, dx, r, h, wfd, params: Params, cfg: PairConfig, dt, step, seed=0):
@@ -919,6 +983,7 @@ def compute_forces(
     )
 
     n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    kernel_used = True
     if (
         n_shards > 1
         and cfg.use_pallas
@@ -939,6 +1004,7 @@ def compute_forces(
             seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
         ))
     else:
+        kernel_used = False
         ja_fields = _pass_a_j_fields(params, cfg)
         for off in geom.stencil_offsets():
             J = {k: _bc(shift_cells(pf[k], off, geom), "j") for k in ja_fields}
@@ -949,6 +1015,15 @@ def compute_forces(
                 seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
                 pbc=pbc,
             )
+
+    if kernel_used and params.n_ssa > 0:
+        # SSA kernel split: the kernel computed the mechanics (it carries
+        # no Qd accumulator); draw the hops in the slim jnp pass — Qd is
+        # bit-identical to the fallback path's (same counter streams)
+        acc["Qd"] = _pass_a_qd(
+            pf, I, not_diag, params, geom, cfg, state.dt, state.step,
+            state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1], pbc,
+        )
 
     # ---- pass B needs the fresh forces ------------------------------------
     # vws/aws are consumed ONLY by the plain-bvf and zhang integrators'

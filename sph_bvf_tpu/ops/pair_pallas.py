@@ -9,11 +9,14 @@ physics terms against on-chip data — the temporaries never touch HBM.
 Design:
   * All per-particle inputs are packed into one f32 matrix PF [F, cap, NC]
     (components as rows).  PF is lane-padded by one block on each side and
-    the same padded array is passed THREE times with block index maps
-    (b, b+1, b+2): the three consecutive VMEM blocks cover every stencil
-    window because the maximum flat-cell offset (strides summed) is < BLK.
-    This expresses an overlapping halo with ordinary BlockSpecs — no manual
-    DMA — at the cost of re-reading PF 3x (a few MB; negligible).
+    the same padded array is passed THREE times with block index maps: a
+    BLK-wide mid block plus two H-wide side-halo blocks, H = the stencil
+    reach rounded to a lane tile (_halo_width).  The [H | BLK | H] VMEM
+    window covers every stencil offset because the maximum flat-cell
+    offset (strides summed) is < H.  This expresses an overlapping halo
+    with ordinary BlockSpecs — no manual DMA — re-reading (BLK + 2H)/BLK
+    of PF (1.67x at 768/256; was 3x with full-BLK side blocks, measured
+    as part of the round-4 skeleton decomposition).
   * Boundary conditions live ENTIRELY in the halo/ghost content built by
     core/halo.py: zero halos for walls, wrapped copies for periodic x,
     ppermute'd neighbor slabs for a sharded x axis, and ghost columns for
@@ -39,12 +42,14 @@ Shards must be x-aligned slabs (nx divisible by the mesh size): the
 in-kernel cy/cz decomposition of the lane index assumes every shard starts
 on an x-column boundary.
 
-Eligibility (falls back to the jnp path otherwise): f32 state, no SSA
-species, VMEM-bounded halo blocks, and a TPU backend.  SDPD thermal noise
-IS kernel-supported (pair-symmetric counter noise, round 2).  SSA configs
-take the jnp path because the Qd hop draws need per-pair RNG streams keyed
-by species state — see MIGRATING.md "SSA performance note"; even the jnp
-fallback beats the serial reference ~73x on the polarization model.
+Eligibility (falls back to the jnp path otherwise): f32 state,
+VMEM-bounded halo blocks, and a TPU backend.  SDPD thermal noise IS
+kernel-supported (pair-symmetric counter noise, round 2).  SSA configs run
+SPLIT (round 4): the kernel computes the mechanics (it stages no Cd/tag
+rows and carries no Qd accumulator — the per-pair RNG hop draws would
+double its VMEM working set), and compute_forces draws Qd in a separate
+slim jnp pass (ops/pair._pass_a_qd) with bit-identical counter streams;
+`PairConfig.ssa_kernel_split=False` restores the whole-pass jnp fallback.
 """
 
 from __future__ import annotations
@@ -104,12 +109,30 @@ def _kernel_block(geom, block: int = 0, rowloop: bool | None = None) -> int:
     return max(block, _round_up(halo_mod.max_flat_offset(geom) + 1, 128))
 
 
+def _halo_width(geom, blk: int) -> int:
+    """Side-halo lane width for the 2D flat-lane kernel (round 4).
+
+    The stencil windows only reach ``max_flat_offset`` lanes past the mid
+    block, so the left/right block refs need just that reach rounded up to
+    a lane tile — NOT a full BLK.  DMA per block drops from 3*BLK to
+    BLK + 2*H lanes of PF (1.67x instead of 3x at BLK=768/H=256).  Falls
+    back to BLK (the old equal-block window) when the reach is too large
+    or doesn't divide BLK (blocked index maps quantize by block shape)."""
+    h = _round_up(halo_mod.max_flat_offset(geom) + 1, 128)
+    if h >= blk or blk % h:
+        return blk
+    return h
+
+
 def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
     """Platform-independent kernel eligibility (shared by the single-device
     and shard_map paths; the latter runs in interpret mode off-TPU)."""
     if state.x.dtype != jnp.float32:
         return False
-    if params.n_ssa > 0:
+    if params.n_ssa > 0 and not getattr(cfg, "ssa_kernel_split", True):
+        # whole-pass jnp fallback for SSA (the pre-split behavior); with
+        # the split the kernel handles the mechanics and compute_forces
+        # draws Qd in the separate jnp pass (ops/pair._pass_a_qd)
         return False
     # the 3 staged [F, cap, BLK] halo blocks + [A, cap, BLK] output are
     # double-buffered in VMEM; BLK scales with the x-stride (ny*nz), so
@@ -123,7 +146,8 @@ def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
         blk = _tile_block(geom)
         return 4 * (9 * F + A) * geom.cap * blk * 4 <= 90 * 1024 * 1024
     blk = _kernel_block(geom)
-    if 2 * (3 * F + A) * geom.cap * blk * 4 > 90 * 1024 * 1024:
+    h = _halo_width(geom, blk)
+    if 2 * (F * (blk + 2 * h) + A * blk) * geom.cap * 4 > 90 * 1024 * 1024:
         return False
     return True
 
@@ -318,6 +342,9 @@ def _call_padded(
     NC_pad = _round_up(NC_lanes, BLK)
     grid = NC_pad // BLK
     assert PFp.shape[-1] == NC_pad + 2 * BLK, (PFp.shape, NC_pad, BLK)
+    # narrow side halos (see _halo_width): the left/right refs stage only
+    # the stencil reach H <= BLK; the staged window is [H | BLK | H]
+    H = _halo_width(geom, BLK)
 
     fl = _field_layout(params, cfg)
     al = _acc_layout(params, cfg)
@@ -340,7 +367,7 @@ def _call_padded(
     )
 
     tab_dict = coeff_tables(params, cfg)
-    used = used_table_names(params, cfg)
+    used = used_table_names(params, cfg, ssa=False)
     tab_names = [k for k in sorted(tab_dict) if k in used]
     tables = jnp.stack(
         [tab_dict[k] for k in tab_names], axis=0
@@ -446,7 +473,7 @@ def _call_padded(
 
             for off in offsets:
                 off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
-                lo = BLK + off_flat
+                lo = H + off_flat
                 Jf = unpack(buf, lo, lo + BLK)
                 # inner-axis bounds: a y/z step of +-1 from a row edge lands
                 # on the adjacent column's far edge in flat order — mask it.
@@ -540,7 +567,7 @@ def _call_padded(
 
             def jfields(jwin, off):
                 off_flat = off[0] * sgx + off[1] * sgy + off[2] * sgz
-                lo = BLK + off_flat
+                lo = H + off_flat
                 Jf = unpack(jwin, lo, lo + BLK)
                 inb = jnp.ones((1, BLK), bool)
                 for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
@@ -691,9 +718,10 @@ def _call_padded(
                 )
                 write_rows(acc, s0, s1 - s0)
 
-    blockspec = lambda shift: pl.BlockSpec(
-        (F, cap, BLK), lambda b, *_: (0, 0, b + shift), memory_space=pltpu.VMEM
-    )
+    # left/right halo refs stage only H lanes; their index maps count in
+    # H-sized blocks (PFp's left pad is BLK, so mid block b starts at lane
+    # (b+1)*BLK = ((b+1)*R) H-blocks)
+    R = BLK // H
     in_specs = [
         pl.BlockSpec(
             (len(tab_names), T, T), lambda b, *_: (0, 0, 0),
@@ -703,9 +731,18 @@ def _call_padded(
             (T * T, kap.shape[1]), lambda b, *_: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        blockspec(0),
-        blockspec(1),
-        blockspec(2),
+        pl.BlockSpec(
+            (F, cap, H), lambda b, *_: (0, 0, (b + 1) * R - 1),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (F, cap, BLK), lambda b, *_: (0, 0, b + 1),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (F, cap, H), lambda b, *_: (0, 0, (b + 1) * R + R),
+            memory_space=pltpu.VMEM,
+        ),
     ]
     out_spec = pl.BlockSpec(
         (A, cap, BLK), lambda b, *_: (0, 0, b), memory_space=pltpu.VMEM
@@ -865,7 +902,7 @@ def _call_tiled3d(
     )
 
     tab_dict = coeff_tables(params, cfg)
-    used = used_table_names(params, cfg)
+    used = used_table_names(params, cfg, ssa=False)
     tab_names = [k for k in sorted(tab_dict) if k in used]
     tables = jnp.stack(
         [tab_dict[k] for k in tab_names], axis=0

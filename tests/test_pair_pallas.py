@@ -386,3 +386,51 @@ def test_grouped_crowded_cell():
         err = float(jnp.max(jnp.abs(got - want)))
         scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
         assert err <= 5e-6 * scale, (name, err, scale)
+
+
+def test_ssa_split_matches_jnp_path():
+    """SSA kernel split (round 4): with n_ssa > 0 the kernel computes the
+    mechanics (no Qd accumulator, no Cd/tag staging) and `_pass_a_qd`
+    draws the hops separately — the mechanics must match the jnp path to
+    f32 rounding and Qd must be BIT-IDENTICAL (same counter streams)."""
+    from sph_bvf_tpu.ops.pair import _bc, _pass_a_qd
+    from tests.test_ssa import _ssa_cavity
+
+    state, params, spec = _ssa_cavity()
+    state = setup(state, params, spec, dt=1e-4)
+    cfg = spec.pair
+    assert params.n_ssa == 1
+
+    ref = compute_forces(
+        state, params, spec.geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+
+    # mechanics through the kernel (interpret mode)
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_pallas(pf, params, spec.geom, cfg, block=128, interpret=True)
+    for name, _ in _acc_layout(params, cfg):
+        got = jnp.asarray(acc[name])
+        want = getattr(ref, name)
+        if name in ("num_den", "rhoAux2"):
+            got = jnp.where(state.valid, got, 1.0)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+        assert err <= 5e-6 * scale, (name, err, scale)
+
+    # hop draws through the split pass: bit-identical to the fallback's
+    geom = spec.geom
+    not_diag = ~(
+        jnp.arange(geom.cap)[:, None] == jnp.arange(geom.cap)[None, :]
+    )[:, :, None]
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+    I = {k: _bc(v, "i") for k, v in pf.items()}
+    seed = state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1]
+    qd = _pass_a_qd(
+        pf, I, not_diag, params, geom, cfg, state.dt, state.step, seed, pbc
+    )
+    np.testing.assert_array_equal(np.asarray(qd), np.asarray(ref.Qd))
+    assert int(jnp.sum(jnp.abs(qd))) > 0  # hops actually drawn
