@@ -310,6 +310,26 @@ class Scene:
         self.align_cells = True
         # round the x cell count down to a multiple (for even mesh sharding)
         self.ncx_multiple_of = 1
+        # load balancing (parallel/balance.py): when set via balance(), the
+        # build re-sizes x columns for equal per-slab particle counts if the
+        # uniform-width imbalance exceeds the threshold
+        self.balance_shards = 0
+        self.balance_threshold = 2.0
+
+    def balance(self, n_shards: int, threshold: float = 2.0):
+        """Enable non-uniform x-column sizing for an ``n_shards``-slab run.
+
+        The balance.cpp:1354 analog: if the uniform-width slab imbalance
+        (max/mean particle count) exceeds ``threshold`` at build time, cell
+        edges along x are recomputed so each column — hence each equal-
+        column-count slab — holds a near-equal particle share, subject to
+        every column staying wider than the kernel cutoff.  Implies
+        ``ncx_multiple_of=n_shards``.
+        """
+        self.balance_shards = int(n_shards)
+        self.balance_threshold = float(threshold)
+        self.ncx_multiple_of = max(self.ncx_multiple_of, int(n_shards))
+        return self
 
     # -- domain -------------------------------------------------------------
     def create_box(self, ntypes: int, region: _Block):
@@ -522,6 +542,93 @@ class Scene:
             kappa_ssa=jnp.asarray(kappa_ssa),
         )
 
+    def _maybe_balance(self, geom, x, lo, idx, cutoff):
+        """Swap in non-uniform x-column edges when the uniform-width slab
+        imbalance for a ``balance_shards``-way run exceeds the threshold
+        (see balance() and parallel/balance.py).  Returns the (possibly
+        rebuilt) geometry and the updated per-particle cell coordinates."""
+        from sph_bvf_tpu.parallel.balance import balanced_x_edges
+
+        ns = self.balance_shards
+        nx = geom.ncells[0]
+        if nx % ns or nx < ns:
+            return geom, idx
+        def slab_imbalance(col_of_particle, ncols):
+            s = np.bincount(
+                col_of_particle // (ncols // ns), minlength=ns
+            )
+            return s.max() / max(s.mean(), 1.0)
+
+        f = slab_imbalance(idx[:, 0], nx)
+        if f <= self.balance_threshold:
+            return geom, idx
+        # fine quantum: the lattice spacing when cells are lattice-aligned
+        # (edges stay lattice multiples -> predictable occupancy), else a
+        # 1/8-cell subdivision (exactly divides the grid either way)
+        if self.align_cells and self._lattice is not None \
+                and not self.periodic[0]:
+            q = float(self._lattice[0])
+        else:
+            q = geom.cell_size[0] / 8.0
+        n_fine = int(round(nx * geom.cell_size[0] / q))
+        # minimum column width: strictly above the cutoff, same criterion
+        # as Geometry.build (a zero margin would disable the drift guard)
+        k_min = max(int(np.ceil(cutoff / q)), 1)
+        while k_min * q - cutoff < 1e-6 * q:
+            k_min += 1
+        # Column-count search: at the uniform nx every column may already
+        # sit at the minimum width (lattice-aligned sizing IS minimal), so
+        # equal-count edges need slack — FEWER, wider-on-average columns.
+        # Descend nx in multiples of ns, keep the best achieved slab
+        # imbalance, stop once it is essentially balanced or stops helping.
+        x0 = x[:, 0]
+        best = (f, None, nx)
+        tried_worse = 0
+        for nxb in range(nx, ns - 1, -ns):
+            if nxb * k_min > n_fine:
+                continue
+            edges_f = balanced_x_edges(x0, lo[0], q, n_fine, nxb, k_min)
+            e = np.asarray([lo[0] + b * q for b in edges_f])
+            col = np.clip(
+                np.searchsorted(e, x0, side="right") - 1, 0, nxb - 1
+            )
+            fb = slab_imbalance(col, nxb)
+            if fb < best[0] - 1e-9:
+                best = (fb, e, nxb)
+                tried_worse = 0
+            else:
+                tried_worse += 1
+            if best[0] <= 1.05 or tried_worse >= 3:
+                break
+        fb, e, nxb = best
+        if e is None:
+            return geom, idx
+        widths = np.diff(e)
+        budget = min(
+            [(float(widths.min()) - cutoff) / 2.0]
+            + [
+                (geom.cell_size[ax] - cutoff) / 2.0
+                for ax in range(1, self.dim)
+            ]
+        )
+        geom = dataclasses.replace(
+            geom,
+            ncells=(nxb,) + tuple(geom.ncells[1:]),
+            x_edges=tuple(float(v) for v in e),
+            x_quantum=q,
+            # cell_size[0] records the MINIMUM width (Geometry docstring)
+            cell_size=(float(widths.min()),) + tuple(geom.cell_size[1:]),
+            drift_budget=max(float(budget), 0.0),
+            # variable column widths break the uniform-lattice-occupancy
+            # assumption behind the pair kernel's i-row gate
+            base_occ=0,
+        )
+        idx = idx.copy()
+        idx[:, 0] = np.clip(
+            np.searchsorted(e, x0, side="right") - 1, 0, nxb - 1
+        )
+        return geom, idx
+
     def build(self):
         """-> (state, params, spec)."""
         if self._dt is None:
@@ -567,6 +674,10 @@ class Scene:
         idx = np.floor((x - lo) / cell_sz).astype(int)
         nc = np.asarray(geom_probe.ncells)
         idx = np.clip(idx, 0, nc - 1)
+        if self.balance_shards > 1 and n:
+            geom_probe, idx = self._maybe_balance(
+                geom_probe, x, lo, idx, cutoff
+            )
         flat = (idx[:, 0] * nc[1] + idx[:, 1]) * nc[2] + idx[:, 2]
         dens = np.bincount(flat).max() if n else 1
         cap = self.cap or int(np.ceil(dens * 1.3)) + 2

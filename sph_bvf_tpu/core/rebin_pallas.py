@@ -77,6 +77,12 @@ def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
     the speciesless state's row count)."""
     if dtype != jnp.float32:
         return False
+    # non-uniform x columns (Geometry.x_edges, the load-balance lever):
+    # the kernel floor-bins positions in-kernel with 1/cell_size — a
+    # per-column edge table would need an in-kernel gather, which Mosaic
+    # lacks; those geometries take the jnp sort path
+    if geom.x_edges is not None:
+        return False
     # below ~3k cells the jnp sort pipeline is already cheap and the
     # kernel's fixed per-candidate crossbar cost loses (measured crossover
     # between NC=1.3k and 4.8k on v5e; 3.7x ahead by NC=113k)

@@ -70,6 +70,19 @@ class Geometry:
     # the pair kernel splits its i-slot loop here and skips rows >= base_occ
     # for blocks whose max occupancy never exceeds it.  0 disables.
     base_occ: int = 0
+    # Non-uniform x-column widths — the load-balancing lever (the analog of
+    # balance.cpp:1354's proportional cut planes; see parallel/balance.py).
+    # ``x_edges`` holds the ncells[0]+1 cell edges along x, each an integer
+    # multiple of ``x_quantum`` above lo[0]; None means uniform columns of
+    # cell_size[0].  Equal cell COUNTS per shard, unequal widths: XLA keeps
+    # its equal per-device extents while dense regions get narrow columns.
+    # With edges present the Pallas REBIN kernel is ineligible (it floor-bins
+    # in-kernel; rebin takes the jnp sort path) but the pair kernels are
+    # unaffected — they never bin positions, and stencil adjacency is by
+    # column index.  Every width must exceed the cutoff (the stencil-
+    # coverage requirement); cell_size[0] then records the MINIMUM width.
+    x_edges: Tuple[float, ...] | None = None
+    x_quantum: float = 0.0
 
     @property
     def ncells_total(self) -> int:
@@ -372,6 +385,33 @@ def particle_fields(state: State) -> dict:
     }
 
 
+def _x_column_table(geom: Geometry) -> np.ndarray:
+    """Static fine-bin -> x-column lookup for non-uniform edges.
+
+    Edges are integer multiples of ``x_quantum`` above lo[0], so binning is
+    one uniform floor at quantum resolution plus a tiny i32 table gather —
+    never a searchsorted (XLA lowers that to a serial while loop)."""
+    q = geom.x_quantum
+    e = np.asarray(geom.x_edges, np.float64)
+    bins = np.round((e - e[0]) / q).astype(np.int64)
+    table = np.zeros(int(bins[-1]), np.int32)
+    for i in range(len(bins) - 1):
+        table[bins[i] : bins[i + 1]] = i
+    return table
+
+
+def _x_column_of(x0, geom: Geometry):
+    """Non-uniform x binning: positions -> column index via the fine table."""
+    table = jnp.asarray(_x_column_table(geom))
+    n_fine = table.shape[0]
+    lo = geom.lo[0]
+    if geom.periodic[0]:
+        ext = geom.x_edges[-1] - geom.x_edges[0]
+        x0 = jnp.mod(x0 - lo, ext) + lo
+    f = jnp.floor((x0 - lo) * (1.0 / geom.x_quantum)).astype(jnp.int32)
+    return table[jnp.clip(f, 0, n_fine - 1)]
+
+
 def cell_index_of(x, geom: Geometry):
     """Map positions [3, ...] -> flat cell index [...]. Clamps open boundaries."""
     out = None
@@ -379,6 +419,8 @@ def cell_index_of(x, geom: Geometry):
         n = geom.ncells[ax]
         if n == 1:
             c = jnp.zeros(x.shape[1:], jnp.int32)
+        elif ax == 0 and geom.x_edges is not None:
+            c = _x_column_of(x[0], geom)
         else:
             inv = 1.0 / geom.cell_size[ax]
             c = jnp.floor((x[ax] - geom.lo[ax]) * inv).astype(jnp.int32)
@@ -477,13 +519,18 @@ def rebin(
         strides = jnp.asarray(geom.strides, jnp.int32)
         ncs = jnp.asarray(geom.ncells, jnp.int32)
         coords = (cell_ids[:, None] // strides[None, :]) % ncs[None, :]  # [NC,3]
-        cell_lo = lo[None, :] + coords * cs[None, :]
-        cell_hi = cell_lo + cs[None, :]
         x = fields["x"]  # [3, cap, NC]
         excess = jnp.zeros(x.shape[1:], x.dtype)
         for ax in range(geom.dim):
-            below = cell_lo[:, ax][None, :] - x[ax]
-            above = x[ax] - cell_hi[:, ax][None, :]
+            if ax == 0 and geom.x_edges is not None:
+                e = jnp.asarray(np.asarray(geom.x_edges), x.dtype)
+                ax_lo = e[:-1][coords[:, 0]]
+                ax_hi = e[1:][coords[:, 0]]
+            else:
+                ax_lo = lo[ax] + coords[:, ax] * cs[ax]
+                ax_hi = ax_lo + cs[ax]
+            below = ax_lo[None, :] - x[ax]
+            above = x[ax] - ax_hi[None, :]
             excess = jnp.maximum(excess, jnp.maximum(below, above))
         bad = fields["valid"] & (excess > geom.drift_budget)
         drift_violation = drift_violation + jnp.sum(bad.astype(jnp.int32))

@@ -40,6 +40,8 @@ def _geom_meta(geom: Geometry) -> dict:
         periodic=list(geom.periodic),
         drift_budget=geom.drift_budget,
         base_occ=geom.base_occ,
+        x_edges=list(geom.x_edges) if geom.x_edges is not None else None,
+        x_quantum=geom.x_quantum,
     )
 
 
@@ -91,6 +93,12 @@ def load_with_geometry(path: str):
             periodic=tuple(meta["periodic"]),
             drift_budget=meta.get("drift_budget", 0.0),
             base_occ=int(meta.get("base_occ", 0)),
+            x_edges=(
+                tuple(meta["x_edges"])
+                if meta.get("x_edges") is not None
+                else None
+            ),
+            x_quantum=float(meta.get("x_quantum", 0.0)),
         )
         kwargs = {
             f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(State)

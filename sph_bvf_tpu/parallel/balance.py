@@ -17,11 +17,14 @@ extents), so the equivalent questions are:
 Measured on the shipped scenes at 8 slabs (round 3): lid cavity 1.00
 (uniform lattice), fsi nx=60 **1.08** (the dense beam spans only ~2 cell
 columns), cell polarization nx=100 **1.06**.  All are far under the 2x
-threshold where cut-plane balancing would pay; a balance.cpp-style
-proportional split is therefore deferred by measurement, not omission.
-If a future scene trips the warning below, the lever that fits XLA is
-re-binning with non-uniform cell *sizes* per slab (equal cell counts,
-unequal widths) at Scene.build time.
+threshold where cut-plane balancing pays, so the shipped models run with
+uniform columns.  For scenes that DO trip the warning, the lever exists
+(round 4): ``Scene.balance(n_shards)`` recomputes the x-cell edges with
+``balanced_x_edges`` below — equal cell *counts* per shard (XLA keeps its
+static equal per-device extents), unequal *widths* (dense regions get
+narrow columns down to the stencil-coverage minimum) — and rebuilds the
+geometry with ``Geometry.x_edges`` set.  Tested on an adversarial
+dense-blob scene in tests/test_sharding.py.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("geom", "n_shards"))
@@ -53,6 +57,51 @@ def imbalance(counts) -> float:
     return float(jnp.max(counts) / jnp.maximum(jnp.mean(counts), 1.0))
 
 
+def balanced_x_edges(
+    x0: np.ndarray,
+    lo: float,
+    quantum: float,
+    n_fine: int,
+    nx: int,
+    k_min: int,
+) -> list:
+    """Equal-count x-column edges on the fine-quantum grid — the cut-plane
+    proportional split of balance.cpp:1354, expressed the XLA-compatible
+    way: cell COUNTS stay equal per shard (static shapes), cell WIDTHS move.
+
+    Greedy sweep: each of the ``nx`` columns takes fine bins until it holds
+    its fair share of the remaining particles, subject to every column
+    keeping at least ``k_min`` bins (the stencil-coverage minimum,
+    ``k_min * quantum > cutoff``) and leaving enough bins for the columns
+    after it.  Host-side numpy at Scene.build time; O(n + n_fine).
+
+    Returns ``nx + 1`` edge positions in fine-bin units (ints), starting at
+    0 and ending at ``n_fine``.
+    """
+    if n_fine < nx * k_min:
+        raise ValueError(
+            f"cannot balance: {n_fine} fine bins < {nx} columns x {k_min}"
+        )
+    f = np.clip(((x0 - lo) / quantum).astype(np.int64), 0, n_fine - 1)
+    cum = np.concatenate(
+        [[0], np.cumsum(np.bincount(f, minlength=n_fine))]
+    )  # cum[b] = particles strictly below fine-bin b
+    edges = [0]
+    for c in range(nx):
+        cols_left = nx - c - 1
+        if cols_left == 0:
+            edges.append(n_fine)
+            break
+        target = cum[edges[-1]] + (cum[-1] - cum[edges[-1]]) / (nx - c)
+        end = int(np.searchsorted(cum, target, side="left"))
+        end = max(end, edges[-1] + k_min)
+        end = min(end, n_fine - cols_left * k_min)
+        edges.append(end)
+    assert edges[-1] == n_fine
+    assert all(b - a >= k_min for a, b in zip(edges, edges[1:]))
+    return edges
+
+
 def report(state, geom, n_shards: int, warn_factor: float = 2.0) -> dict:
     """Imbalance summary for a (prospective) n-shard run; warns past the
     threshold where cut-plane balancing would be worth building."""
@@ -66,7 +115,8 @@ def report(state, geom, n_shards: int, warn_factor: float = 2.0) -> dict:
     if f > warn_factor:
         out["warning"] = (
             f"slab imbalance {f:.2f}x exceeds {warn_factor}x — equal-width "
-            f"x-slabs will leave devices idle; consider non-uniform cell "
-            f"sizing (see parallel/balance.py docstring)"
+            f"x-slabs will leave devices idle; rebuild the scene with "
+            f"Scene.balance(n_shards) to get non-uniform column widths "
+            f"(balanced_x_edges below)"
         )
     return out
