@@ -19,8 +19,12 @@ from sph_bvf_tpu.core.fixes import SetForce
 
 def build(N: int = 50, Re: float = 100.0, U0: float = 1.0, dt: float | None = None,
           c0: float = 10.0, n_wall_layers: int = 3, rebin_every: int = 10,
-          ncx_multiple_of: int = 1):
-    """Returns (state, params, spec, scene)."""
+          ncx_multiple_of: int = 1, cap: int | None = None):
+    """Returns (state, params, spec, scene).
+
+    ``cap`` overrides the slot capacity (default: density-derived, 14 at
+    this lattice).  Benchmark/decomposition use only — caps 10-13 overflow
+    once the vortex develops (~step 2000-12000, measured round 3)."""
     if dt is None:
         # dt = 1e-4 is the reference's value for its N <= 200 configs
         # (lid_driven_cavity.lmp:20-23); finer grids need CFL-scaled steps
@@ -40,6 +44,7 @@ def build(N: int = 50, Re: float = 100.0, U0: float = 1.0, dt: float | None = No
     sc = Scene(dim=2, boundary=("f", "f", "p"))
     sc.rebin_every = rebin_every
     sc.ncx_multiple_of = ncx_multiple_of
+    sc.cap = cap
     sc.create_box(2, Region.block(xL0, xR1, yB0, yT1, 0, Lz))
     sc.lattice("sq", delta)
 
