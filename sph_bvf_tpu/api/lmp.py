@@ -209,9 +209,23 @@ class LmpModel:
 
             write_dump_custom(path, stepno, geom, d.fields, out["x"], pd)
         else:
-            from sph_bvf_tpu.io.vtk import write_auto
+            from sph_bvf_tpu.io.vtk import write_auto, write_bounding_box
 
             write_auto(path, out["x"], pd)
+            # companion domain grid, once per dump series (the reference
+            # rewrites the same fixed-name file every dump step —
+            # dump_vtk.cpp:992-1005; content is constant)
+            base, ext = os.path.splitext(
+                os.path.join(out_dir, d.filename.replace("*", ""))
+            )
+            bext = ".vtk" if ext.lower() == ".vtk" else ".vtr"
+            bpath = f"{base.rstrip('_')}_boundingBox{bext}"
+            if not hasattr(self, "_bbox_written"):
+                self._bbox_written = set()
+            if bpath not in self._bbox_written:
+                self._bbox_written.add(bpath)
+                write_bounding_box(bpath, self.scene.box_lo,
+                                   self.scene.box_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +238,7 @@ _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 class _Evaluator:
     def __init__(self):
         self.values: Dict[str, float] = {}
+        self.strings: Dict[str, str] = {}  # index/string-style variables
         self.atom_exprs: Dict[str, str] = {}
         self.count_fn = None  # set by the parser (group counting)
 
@@ -231,6 +246,8 @@ class _Evaluator:
         """${name} textual expansion (input.cpp:330)."""
         def repl(m):
             name = m.group(1)
+            if name in self.strings:
+                return self.strings[name]
             if name not in self.values:
                 raise LmpError(f"undefined variable ${{{name}}}")
             return repr(self.values[name])
@@ -448,6 +465,26 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
                     ev.values[name] = num(" ".join(args[2:]))
             elif style == "atom":
                 ev.atom_exprs[name] = " ".join(args[2:])
+            elif style in ("index", "loop", "world", "universe", "uloop",
+                           "string"):
+                # single-partition semantics (variable.cpp): the variable
+                # holds its FIRST value — 'loop'/'uloop' start at 1,
+                # 'world'/'universe' take value[0] with one partition,
+                # 'index'/'string' take the first/only token.  ``-var``
+                # overrides win, matching the reference CLI (lammps.cpp).
+                # The 'next'/'jump' advancing machinery is unsupported and
+                # raises loudly via the unknown-command path — nothing is
+                # silently dropped.
+                if name in overrides:
+                    val = overrides[name]
+                elif style in ("loop", "uloop"):
+                    val = "1"
+                else:
+                    val = args[2]
+                try:
+                    ev.values[name] = float(val)
+                except (TypeError, ValueError):
+                    ev.strings[name] = str(val)
             else:
                 raise LmpError(f"variable style {style!r} not supported")
         elif cmd == "region":

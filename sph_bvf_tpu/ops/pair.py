@@ -110,10 +110,16 @@ class PairConfig:
     rng_seed: int = 0
     # truncation order of the per-pair hop-count Poisson (core/ssa.py)
     ssa_poisson_terms: int = 6
-    # SSA configs on TPU: run the mechanics through the Pallas kernel and
-    # the Qd hop draws in a separate jnp pass (`_pass_a_qd`).  False keeps
-    # the whole pair pass on the jnp path (the round-3 behavior).
-    ssa_kernel_split: bool = True
+    # SSA configs on TPU: True runs the mechanics through the Pallas
+    # kernel plus a separate jnp Qd hop pass (`_pass_a_qd`); False keeps
+    # the whole pair pass on the fused jnp path.  Measured on the real
+    # chip (tools/ssa_split_bench.py, nx=100, 2026-08-20): split 4.65M
+    # ps/s vs whole-jnp 8.0M — the counter-RNG hop draws dominate SSA
+    # configs, so the standalone Qd pass costs as much as the whole fused
+    # pass and the kernel mechanics is pure overhead on top.  Default
+    # False (the winner); the split stays available and bit-identical
+    # (test_ssa_split_matches_jnp_path) for SSA-light configs.
+    ssa_kernel_split: bool = False
     # coefficient tables (coeff_tables) whose [T, T] entries are all equal —
     # computed by Scene.build from the concrete pair_coeff values.  The pair
     # drivers collapse these to a scalar broadcast instead of a per-pair

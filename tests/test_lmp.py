@@ -68,6 +68,12 @@ def test_synthetic_script(tmp_path):
     pts, data = read_vtk(vtks[0])
     assert set(data) >= {"id", "type", "vx", "vy", "vz", "c_rhoatom", "c_c0atom"}
     assert np.allclose(data["c_rhoatom"].mean(), 1.0, atol=0.05)
+    # the domain companion grid (dump_vtk.cpp boundingBox analog)
+    bbox = glob.glob(os.path.join(tmp_path, "*_boundingBox.vtk"))
+    assert bbox, "boundingBox companion not written"
+    txt = open(bbox[0]).read()
+    assert "RECTILINEAR_GRID" in txt and "DIMENSIONS 2 2 2" in txt
+    assert "X_COORDINATES 2 double" in txt
 
 
 def test_unknown_command_raises():
@@ -167,3 +173,31 @@ def test_read_restart_resumes(tmp_path):
     # in this developing-flow scene; gate at 1%
     va, vb = np.asarray(state_a.v), np.asarray(state_b.v)
     assert np.max(np.abs(va - vb)) < 1e-2 * max(np.max(np.abs(va)), 1e-12) + 1e-9
+
+
+def test_variable_styles_index_loop_string():
+    """index/loop/world/string variables (variable.cpp): single-partition
+    first-value semantics, -var overrides winning, string substitution in
+    ${} expansion; `next`/`jump` advancing stays a loud error."""
+    from sph_bvf_tpu.api.lmp import LmpError
+
+    script = SYNTHETIC.replace(
+        "variable nx equal 12",
+        "variable nx index 12 24\n"
+        "variable it loop 5\n"
+        "variable tag string caseA\n"
+        "variable wrank world 0",
+    ).replace("run 1000", "print ${tag}_${it}\nrun 1000")
+    model = parse_script(script)
+    assert model.variables["nx"] == 12.0   # first index value
+    assert model.variables["it"] == 1.0    # loop starts at 1
+    assert model.variables["wrank"] == 0.0
+
+    # -var override wins (reference CLI behavior)
+    model2 = parse_script(script, overrides={"nx": 8})
+    assert model2.variables["nx"] == 8.0
+
+    # the advancing machinery is not silently accepted
+    import pytest as _pytest
+    with _pytest.raises(LmpError):
+        parse_script(script + "\nnext it\n")
