@@ -137,6 +137,18 @@ def test_balance_lever_dense_blob():
     assert rep2["imbalance"] < rep["imbalance"] / 2.0
     assert int(state2.overflow) == 0
 
+    # checkpoint metadata round-trips the non-uniform edges
+    import tempfile
+
+    from sph_bvf_tpu.io import checkpoint as ck
+
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/balanced.npz"
+        ck.save(p, state2, g)
+        _, g2 = ck.load_with_geometry(p)
+        assert g2.x_edges == g.x_edges and g2.x_quantum == g.x_quantum
+        assert g2.ncells == g.ncells
+
     # physics equivalence: run both geometries 15 steps (3 rebins) and
     # compare every per-particle field tag-by-tag
     out1, out2 = state, state2
