@@ -75,6 +75,23 @@ def max_flat_offset(geom) -> int:
     return sum(s for s, n in zip(st, geom.ncells) if n > 1)
 
 
+def halo_width(geom, blk: int) -> int:
+    """Side-halo lane width for the flat-lane window kernels (round 4).
+
+    The stencil windows only reach ``max_flat_offset`` lanes past the mid
+    block, so the left/right block refs need just that reach rounded up to
+    a lane tile — NOT a full ``blk``.  Falls back to ``blk`` (the old
+    equal-block window) when the reach is too large or doesn't divide
+    ``blk`` (blocked index maps quantize by block shape).  Shared by the
+    pass-A and rebin kernels; the buffer built by ``assemble_padded`` keeps
+    its ``blk``-wide pads either way — narrow side refs simply read the
+    innermost ``H`` lanes of them."""
+    h = round_up(max_flat_offset(geom) + 1, 128)
+    if h >= blk or blk % h:
+        return blk
+    return h
+
+
 def add_ghosts(M: jax.Array, geom) -> jax.Array:
     """[..., NC] -> [..., NC_g]: insert wrapped ghost columns on inner axes."""
     ga = ghost_axes(geom)

@@ -101,12 +101,14 @@ def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
         blk = max(256, _round_up(ngz + 2, 128))
         vmem = (2 * 18 * n_rows + 3 * 3 * n_rows) * capk * blk * 4
         return vmem <= 90 * 1024 * 1024
-    # the six [F, cap, BLK] halo blocks + two outputs are double-buffered in
-    # VMEM; BLK scales with the x-stride (ny*nz), so tall/deep grids can
-    # exceed the 100MB vmem budget — route those to the jnp sort path
-    # instead of failing at compile (8 specs x 2 buffers x 4 bytes)
+    # the staged window (BLK mid + two H-wide side refs, f32 + i32 packs)
+    # plus two outputs are double-buffered in VMEM; BLK scales with the
+    # x-stride (ny*nz), so tall/deep grids can exceed the 100MB vmem
+    # budget — route those to the jnp sort path instead of failing at
+    # compile (2 buffers x 4 bytes)
     blk = _halo_block(geom)
-    vmem = 2 * (4 * n_rows) * geom.cap * blk * 4
+    h = halo_mod.halo_width(geom, blk)
+    vmem = 2 * n_rows * (2 * blk + 2 * h) * geom.cap * 4
     if vmem > 90 * 1024 * 1024:
         return False
     return True
@@ -214,6 +216,11 @@ def _move_call(
     NC_pad = _round_up(NC_lanes, BLK)
     grid = NC_pad // BLK
     Ff, Fi = PFp.shape[0], PIp.shape[0]
+    # narrow side halos (core/halo.halo_width, shared with pass A): the
+    # left/right refs stage only the stencil reach H <= BLK; the staged
+    # window is [H | BLK | H] and offset slices are H-based
+    H = halo_mod.halo_width(geom, BLK)
+    R = BLK // H
 
     # candidate order: flat cell offset ascending (with slot-major outer
     # loop this reproduces the jnp path's stable (cell, old flat) sort on
@@ -252,7 +259,7 @@ def _move_call(
             """All stencil candidates of one source slot row ``r`` of the
             staged window ``bf``/``bi`` ([F, rows, 3*BLK])."""
             for off_flat, off in offs:
-                sl = slice(BLK + off_flat, 2 * BLK + off_flat)
+                sl = slice(H + off_flat, H + BLK + off_flat)
                 vj = bi[0:1, r, sl] != 0  # [1, BLK]
                 # inner-axis bounds only; x is governed by halo content
                 for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
@@ -323,8 +330,18 @@ def _move_call(
         outf_ref[...] = accF
         outi_ref[...] = accI
 
+    # mid blocks are BLK-wide at (b+1)*BLK (the buffer's left pad is BLK);
+    # side refs are H-wide, index maps counting in H-sized blocks
     spec = lambda F, shift: pl.BlockSpec(
         (F, capk, BLK), lambda b, *_: (0, 0, b + shift),
+        memory_space=pltpu.VMEM,
+    )
+    hspec_l = lambda F: pl.BlockSpec(
+        (F, capk, H), lambda b, *_: (0, 0, (b + 1) * R - 1),
+        memory_space=pltpu.VMEM,
+    )
+    hspec_r = lambda F: pl.BlockSpec(
+        (F, capk, H), lambda b, *_: (0, 0, (b + 1) * R + R),
         memory_space=pltpu.VMEM,
     )
     gb = jnp.asarray(g_base, jnp.int32).reshape(1)
@@ -343,8 +360,8 @@ def _move_call(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(grid,),
-            in_specs=[spec(Ff, 0), spec(Ff, 1), spec(Ff, 2),
-                      spec(Fi, 0), spec(Fi, 1), spec(Fi, 2)],
+            in_specs=[hspec_l(Ff), spec(Ff, 1), hspec_r(Ff),
+                      hspec_l(Fi), spec(Fi, 1), hspec_r(Fi)],
             out_specs=[
                 pl.BlockSpec((Ff, capk, BLK), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),

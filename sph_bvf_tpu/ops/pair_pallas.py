@@ -110,18 +110,10 @@ def _kernel_block(geom, block: int = 0, rowloop: bool | None = None) -> int:
 
 
 def _halo_width(geom, blk: int) -> int:
-    """Side-halo lane width for the 2D flat-lane kernel (round 4).
-
-    The stencil windows only reach ``max_flat_offset`` lanes past the mid
-    block, so the left/right block refs need just that reach rounded up to
-    a lane tile — NOT a full BLK.  DMA per block drops from 3*BLK to
-    BLK + 2*H lanes of PF (1.67x instead of 3x at BLK=768/H=256).  Falls
-    back to BLK (the old equal-block window) when the reach is too large
-    or doesn't divide BLK (blocked index maps quantize by block shape)."""
-    h = _round_up(halo_mod.max_flat_offset(geom) + 1, 128)
-    if h >= blk or blk % h:
-        return blk
-    return h
+    """Side-halo lane width (core/halo.halo_width — shared with the rebin
+    kernel): the stencil reach rounded to a lane tile, so the left/right
+    block refs DMA BLK + 2*H lanes of PF instead of 3*BLK."""
+    return halo_mod.halo_width(geom, blk)
 
 
 def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
