@@ -294,7 +294,11 @@ def main():
     if on_tpu and not os.environ.get("BENCH_NO_PROBE"):
         s1 = _run_stage1(left())
         if s1:
-            base = flagship_base
+            # no recorded N=50 serial baseline exists — the ratio against
+            # the N=200 flagship baseline is approximate (ADVICE r4); the
+            # record says so instead of implying an apples-to-apples speedup
+            base = baselines.get("lid_cavity_n50", flagship_base)
+            approx = "lid_cavity_n50" not in baselines
             _OUT.update(
                 metric=(f"lid-cavity Re100 N={s1['N']} particle-steps/s "
                         f"({s1['n']} particles; stage1 — upgraded to "
@@ -305,6 +309,9 @@ def main():
             models["lid_cavity2d_n50_stage1"] = dict(
                 value=s1["value"], n=s1["n"],
                 vs_baseline=round(s1["value"] / base, 2),
+                **({"vs_baseline_note":
+                    "approximate: vs the N=200 serial baseline"}
+                   if approx else {}),
             )
             emit()
 

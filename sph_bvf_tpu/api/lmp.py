@@ -219,7 +219,8 @@ class LmpModel:
                 os.path.join(out_dir, d.filename.replace("*", ""))
             )
             bext = ".vtk" if ext.lower() == ".vtk" else ".vtr"
-            bpath = f"{base.rstrip('_')}_boundingBox{bext}"
+            stem = base[:-1] if base.endswith("_") else base
+            bpath = f"{stem}_boundingBox{bext}"
             if not hasattr(self, "_bbox_written"):
                 self._bbox_written = set()
             if bpath not in self._bbox_written:
@@ -481,10 +482,15 @@ def parse_script(text: str, overrides: Optional[Dict[str, float]] = None) -> Lmp
                     val = "1"
                 else:
                     val = args[2]
+                # ${} expansion must return the RAW token (variable.cpp does
+                # textual substitution — 'variable tag string 007' expands as
+                # 007, not 7.0), so keep the string always and mirror into
+                # the numeric table only for v_-style arithmetic contexts
+                ev.strings[name] = str(val)
                 try:
                     ev.values[name] = float(val)
                 except (TypeError, ValueError):
-                    ev.strings[name] = str(val)
+                    pass
             else:
                 raise LmpError(f"variable style {style!r} not supported")
         elif cmd == "region":

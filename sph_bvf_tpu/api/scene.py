@@ -16,6 +16,7 @@ the simulation box; region containment is inclusive like Region::match
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -329,6 +330,10 @@ class Scene:
         self.balance_shards = int(n_shards)
         self.balance_threshold = float(threshold)
         self.ncx_multiple_of = max(self.ncx_multiple_of, int(n_shards))
+        # set by _maybe_balance: True when non-uniform edges were swapped
+        # in, False when requested but not applied (a warning says why),
+        # None until build()
+        self.balance_applied = None
         return self
 
     # -- domain -------------------------------------------------------------
@@ -602,7 +607,21 @@ class Scene:
                 break
         fb, e, nxb = best
         if e is None:
+            # the user explicitly asked for balance() and the imbalance is
+            # over threshold, but no improving edge set exists under the
+            # cutoff-width constraint — say so instead of silently running
+            # unbalanced (ADVICE r4)
+            warnings.warn(
+                f"Scene.balance({ns}): uniform-slab imbalance {f:.2f}x "
+                f"exceeds the {self.balance_threshold:.2f}x threshold but "
+                "the column-width search found no improving edge set "
+                "(every candidate column would violate the cutoff-width "
+                "minimum); running with the uniform grid.",
+                stacklevel=3,
+            )
+            self.balance_applied = False
             return geom, idx
+        self.balance_applied = True
         widths = np.diff(e)
         budget = min(
             [(float(widths.min()) - cutoff) / 2.0]

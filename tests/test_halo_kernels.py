@@ -138,6 +138,43 @@ def test_pass_a_sharded_matches(case, fsi_state24):
     _assert_accs_match(state, params, geom, cfg, acc)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_pass_a_sharded_thermal_matches():
+    """SDPD thermal noise through the shard_map kernel path (round-5: the
+    `not cfg.thermal` guard is gone — dt/step/seed ride a replicated
+    scalar-prefetch operand, and the pair-tag-keyed counter noise is
+    shard-invariant, mirroring the reference's random force under MPI,
+    pair...transport_velocity.cpp:406-431)."""
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    state, params, spec, _ = lid_cavity.build(
+        N=48, Re=100.0, dt=1e-4, ncx_multiple_of=8
+    )
+    state = setup(state, params, spec, dt=1e-4)
+    state = dataclasses.replace(
+        state, e=jnp.where(state.valid, 1.0, 0.0)
+    )
+    # a physically large kB makes the noise visible at f32 precision
+    params = dataclasses.replace(params, boltz=1e-4)
+    cfg = dataclasses.replace(spec.pair, thermal=True)
+    geom = spec.geom
+    pf = _per_particle(state, params, cfg)
+    acc = pass_a_sharded(
+        pf, params, geom, cfg, make_mesh(8), block=128, interpret=True,
+        dt=state.dt, step=state.step,
+        seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
+    )
+    # the noise must be present (nonzero vs the thermal-off forces) ...
+    off = compute_forces(
+        state, params, geom,
+        dataclasses.replace(cfg, thermal=False, use_pallas=False),
+    )
+    assert float(jnp.max(jnp.abs(jnp.asarray(acc["f"]) - off.f))) > 0
+    # ... and bit-compatible with the single-device jnp path
+    _assert_accs_match(state, params, geom, cfg, acc)
+
+
 # ---------------------------------------------------------------------------
 # rebin under periodic boundaries / sharding
 # ---------------------------------------------------------------------------
