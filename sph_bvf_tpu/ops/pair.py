@@ -120,6 +120,15 @@ class PairConfig:
     # False (the winner); the split stays available and bit-identical
     # (test_ssa_split_matches_jnp_path) for SSA-light configs.
     ssa_kernel_split: bool = False
+    # round-5 structural experiment on the 64% pass-A skeleton (VALIDATION
+    # "Pass-A roofline-gap decomposition"): pre-shift the packed field
+    # matrix in HBM — XLA materializes the 9 stencil-shifted views once per
+    # call, and the grouped 2D kernel reads 9 lane-ALIGNED block refs
+    # instead of rotating a [H|BLK|H] VMEM window per offset.  Trades the
+    # in-kernel vector-unit rotation work for HBM traffic, which the
+    # round-4 decomposition showed the BlockSpec pipeline overlaps.
+    # Grouped 2D shapes only (rowloop/3D keep the window design).
+    preshift_window: bool = False
     # coefficient tables (coeff_tables) whose [T, T] entries are all equal —
     # computed by Scene.build from the concrete pair_coeff values.  The pair
     # drivers collapse these to a scalar broadcast instead of a per-pair
@@ -993,7 +1002,6 @@ def compute_forces(
     if (
         n_shards > 1
         and cfg.use_pallas
-        and not cfg.thermal  # thermal scalars not threaded through shard_map
         and kernel_supported(state, params, geom, cfg)
         and sharded_eligible(geom, n_shards)
     ):
@@ -1001,6 +1009,8 @@ def compute_forces(
             pass_a_sharded(
                 pf, params, geom, cfg, mesh, mesh_axis,
                 interpret=not on_tpu(),
+                dt=state.dt, step=state.step,
+                seed=state.key.reshape(-1)[0] ^ state.key.reshape(-1)[-1],
             )
         )
     elif cfg.use_pallas and pallas_eligible(state, params, geom, cfg):

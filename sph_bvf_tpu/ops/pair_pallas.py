@@ -121,7 +121,7 @@ def kernel_supported(state: State, params: Params, geom: Geometry, cfg) -> bool:
     and shard_map paths; the latter runs in interpret mode off-TPU)."""
     if state.x.dtype != jnp.float32:
         return False
-    if params.n_ssa > 0 and not getattr(cfg, "ssa_kernel_split", True):
+    if params.n_ssa > 0 and not getattr(cfg, "ssa_kernel_split", False):
         # whole-pass jnp fallback for SSA (the pre-split behavior); with
         # the split the kernel handles the mechanics and compute_forces
         # draws Qd in the separate jnp pass (ops/pair._pass_a_qd)
@@ -834,6 +834,257 @@ def _call_padded(
     )(tables, kap, PFp, PFp, PFp)
 
 
+def _call_preshift(
+    PFp: jax.Array,
+    occ: jax.Array | None,
+    params: Params,
+    geom: Geometry,
+    cfg,
+    NC_lanes: int,
+    BLK: int,
+    interpret: bool,
+    meta: jax.Array | None = None,
+) -> jax.Array:
+    """The grouped 2D kernel over PRE-SHIFTED field views (round-5
+    structural counter-experiment on the pass-A skeleton).
+
+    ``_call_padded`` stages a [H | BLK | H] VMEM window and slices it at a
+    lane-misaligned offset per stencil offset — 9 vector-unit rotations per
+    block, measured as the bulk of the 64% skeleton share (VALIDATION
+    round-4 decomposition).  Here XLA materializes the 9 shifted views of
+    PFp in HBM once per call (one fused multi-output copy), and the kernel
+    reads each offset as its own lane-ALIGNED block ref: zero in-kernel
+    rotation, zero window concat.  The misaligned copy work moves to XLA's
+    bulk copy emitter and the extra HBM reads ride the BlockSpec pipeline's
+    overlap.  Physics, masks, occupancy gating, and output layout are
+    identical to ``_call_padded``'s grouped branch; only J staging differs.
+
+    ``PFp``: same pre-assembled padded buffer ([F, cap, NC_pad + 2*BLK],
+    halo/wrap content in place), so wrap/shard boundary semantics are
+    inherited unchanged.  Returns [A, cap, NC_pad].
+    """
+    cap = PFp.shape[1]
+    T = params.ntypes
+    ngx, ngy, ngz = halo_mod.ghosted_ncells(geom)
+    sgx, sgy, sgz = halo_mod.ghosted_strides(geom)
+    offsets = geom.stencil_offsets()
+    NC_pad = _round_up(NC_lanes, BLK)
+    grid = NC_pad // BLK
+    assert PFp.shape[-1] == NC_pad + 2 * BLK, (PFp.shape, NC_pad, BLK)
+
+    fl = _field_layout(params, cfg)
+    al = _acc_layout(params, cfg)
+    frow = _row_ranges(fl)
+    arow = _row_ranges(al)
+    F = sum(n for _, n in fl)
+    A = sum(n for _, n in al)
+
+    pbc = tuple(
+        (ax, geom.hi[ax] - geom.lo[ax])
+        for ax in range(3)
+        if geom.periodic[ax] and geom.ncells[ax] > 1
+    )
+
+    from sph_bvf_tpu.ops.pair import (
+        _bc, _pass_a_offset, coeff_tables, used_table_names,
+    )
+
+    tab_dict = coeff_tables(params, cfg)
+    used = used_table_names(params, cfg, ssa=False)
+    tab_names = [k for k in sorted(tab_dict) if k in used]
+    tables = jnp.stack(
+        [tab_dict[k] for k in tab_names], axis=0
+    ).astype(jnp.float32)
+    kap = (
+        params.kappa.reshape(T * T, params.n_sdpd).astype(jnp.float32)
+        if params.n_sdpd > 0
+        else jnp.zeros((T * T, 1), jnp.float32)
+    )
+
+    # the shifted views: PF9[o][..., l] == PFp[..., BLK + l + off_flat[o]].
+    # One fused XLA copy (9 static slices of the same array); |off_flat| <=
+    # max_flat_offset < BLK keeps every slice in range of the BLK-wide pads.
+    off_flats = [
+        off[0] * sgx + off[1] * sgy + off[2] * sgz for off in offsets
+    ]
+    views = [
+        jax.lax.slice_in_dim(PFp, BLK + off, BLK + off + NC_pad, axis=-1)
+        for off in off_flats
+    ]
+    center = offsets.index((0, 0, 0))
+
+    def unpack(buf):
+        out = {}
+        for name, nrows in fl:
+            r0, r1 = frow[name]
+            a = buf[r0:r1]
+            if name in ("AS", "S"):
+                out[name] = a.reshape((3, 3) + a.shape[1:])
+            elif nrows == 1:
+                out[name] = a[0]
+            else:
+                out[name] = a
+        return out
+
+    split = geom.base_occ if 0 < geom.base_occ < cap else cap
+    n_gated = cap - split
+    gsize = -(-n_gated // 4) if n_gated else 1
+    gated_groups = [
+        (s, min(s + gsize, cap)) for s in range(split, cap, gsize)
+    ]
+    need_occmax = bool(gated_groups) and occ is not None
+
+    def kernel(*refs):
+        i = 0
+        meta_ref = None
+        if meta is not None:
+            meta_ref = refs[i]
+            i += 1
+        if need_occmax:
+            occmax_ref = refs[i]
+            i += 1
+        tab_ref, kap_ref = refs[i], refs[i + 1]
+        pf_refs = refs[i + 2 : i + 2 + len(offsets)]
+        out_ref = refs[i + 2 + len(offsets)]
+        dt_k, step_k, seed_k = _unpack_meta(meta_ref)
+        coeff_for = _coeff_builder(tab_names, cfg, tab_ref, T)
+        b = pl.program_id(0)
+
+        g = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        cz = g % ngz
+        cy = (g // sgy) % ngy
+
+        def acc_for_ibuf(ibuf, not_diag):
+            ci = ibuf.shape[1]
+            ctr = unpack(ibuf)
+            Ifields = dict(ctr)
+            Ifields["valid"] = ctr["valid"] != 0.0
+            Ifields["solid"] = ctr["solid"] != 0.0
+            Ifields["fluid"] = ~Ifields["solid"]
+            I = {k: _bc(v, "i") for k, v in Ifields.items()}
+            acc = {}
+            for name, nrows in al:
+                if name in _SCALAR_ACCS:
+                    shape = (ci, BLK)
+                elif name == "dS":
+                    shape = (3, 3, ci, BLK)
+                else:
+                    shape = (nrows, ci, BLK)
+                acc[name] = jnp.zeros(shape, jnp.float32)
+
+            for oi, off in enumerate(offsets):
+                # the aligned ref load IS the shifted window — no rotation
+                Jf = unpack(pf_refs[oi][:])
+                inb = jnp.ones((1, BLK), bool)
+                for o, c, n in ((off[1], cy, ngy), (off[2], cz, ngz)):
+                    if o != 0:
+                        inb = inb & (c + o >= 0) & (c + o < n)
+                Jf["valid"] = (Jf["valid"] != 0.0) & inb
+                Jf["solid"] = Jf["solid"] != 0.0
+                J = {k: _bc(v, "j") for k, v in Jf.items()}
+
+                ti, tj = I["ptype"], J["ptype"]
+                coeffs = coeff_for(ti, tj)
+                if params.n_sdpd > 0:
+                    coeffs["kap"] = _select_table_rows(
+                        ti, tj, kap_ref, T, params.n_sdpd
+                    )
+
+                notself = not_diag if off == (0, 0, 0) else True
+                acc = _pass_a_offset(
+                    I, J, coeffs, params, cfg, dt_k, step_k, notself, acc,
+                    seed=seed_k, pbc=pbc,
+                )
+            return acc
+
+        def write_rows(acc, s0, ci):
+            for name, nrows in al:
+                r0, r1 = arow[name]
+                out_ref[r0:r1, pl.dslice(s0, ci), :] = acc[name].reshape(
+                    nrows, ci, BLK
+                )
+
+        def static_not_diag(s0, ci):
+            return ~(
+                (s0 + jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 0))
+                == jax.lax.broadcasted_iota(jnp.int32, (ci, cap, 1), 1)
+            )
+
+        acc0 = acc_for_ibuf(
+            pf_refs[center][:, 0:split, :], static_not_diag(0, split)
+        )
+        write_rows(acc0, 0, split)
+        for s0, s1 in gated_groups:
+            out_ref[:, s0:s1, :] = jnp.zeros((A, s1 - s0, BLK), jnp.float32)
+
+            if need_occmax:
+                @pl.when(occmax_ref[0, b] > s0)
+                def _(s0=s0, s1=s1):
+                    acc = acc_for_ibuf(
+                        pf_refs[center][:, s0:s1, :],
+                        static_not_diag(s0, s1 - s0),
+                    )
+                    write_rows(acc, s0, s1 - s0)
+            else:
+                acc = acc_for_ibuf(
+                    pf_refs[center][:, s0:s1, :],
+                    static_not_diag(s0, s1 - s0),
+                )
+                write_rows(acc, s0, s1 - s0)
+
+    in_specs = [
+        pl.BlockSpec(
+            (len(tab_names), T, T), lambda b, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (T * T, kap.shape[1]), lambda b, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [
+        pl.BlockSpec(
+            (F, cap, BLK), lambda b, *_: (0, 0, b), memory_space=pltpu.VMEM
+        )
+        for _ in offsets
+    ]
+    out_spec = pl.BlockSpec(
+        (A, cap, BLK), lambda b, *_: (0, 0, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((A, cap, NC_pad), jnp.float32)
+    kwargs = dict(
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    if need_occmax:
+        occp = jnp.pad(occ, (0, NC_pad - NC_lanes))
+        occmax = jnp.max(occp.reshape(grid, BLK), axis=1)[None]
+        scalars = ([meta] if meta is not None else []) + [occmax]
+    else:
+        scalars = [meta] if meta is not None else []
+    if scalars:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=len(scalars),
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            **kwargs,
+        )(*scalars, tables, kap, *views)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        **kwargs,
+    )(tables, kap, *views)
+
+
 def _tile_block(geom) -> int:
     """yz lane-block for the tiled 3D kernel: must cover one y-step
     (+-ngz lanes) inside the 3-block window."""
@@ -1171,6 +1422,7 @@ def _pass_a_tiled3d_sharded(
     mesh,
     axis: str = "x",
     interpret: bool = False,
+    meta: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
     """Sharded driver for the tiled 3D kernel: x-plane slabs per device.
 
@@ -1202,7 +1454,7 @@ def _pass_a_tiled3d_sharded(
     PF = jnp.pad(PF, ((0, 0), (0, capk - cap), (0, 0)))
     PFg = halo_mod.add_ghosts(PF, geom)
 
-    def local(PFl):
+    def local(PFl, *margs):
         hl, hr = halo_mod.exchange_slabs(PFl, NYZ, axis, n_shards, wrap)
         lead = PFl.shape[:-1]
         PF4p = halo_mod.assemble_tiled(
@@ -1220,18 +1472,22 @@ def _pass_a_tiled3d_sharded(
         occ9 = occ9.at[0].set(cap).at[-1].set(cap)
         occ2 = jnp.stack([occmax.reshape(-1), occ9.reshape(-1)], axis=0)
         out = _call_tiled3d(
-            PF4p, occ2, params, geom, cfg, nx_loc, BLK, interpret
+            PF4p, occ2, params, geom, cfg, nx_loc, BLK, interpret,
+            meta=margs[0] if margs else None,
         )
         out = jnp.transpose(out, (0, 2, 1, 3))[:, :cap]
         return out[..., :NYZ].reshape(out.shape[0], cap, nx_loc * NYZ)
 
+    # the thermal meta scalars (dt/step/seed) are trace-time values, not
+    # shard-varying — replicate them to every device
+    margs = () if meta is None else (meta,)
     out = shard_map(
         local,
         mesh=mesh,
-        in_specs=P(None, None, axis),
+        in_specs=(P(None, None, axis),) + (P(None),) * len(margs),
         out_specs=P(None, None, axis),
         check_vma=False,
-    )(PFg)
+    )(PFg, *margs)
     out = halo_mod.trim_ghosts(out, geom)
     return _unpack_accs(out, params, cfg, cap, NC)
 
@@ -1326,15 +1582,21 @@ def pass_a_pallas(
     PFp = halo_mod.assemble_padded(
         PFg, BLK, NC_pad, halo_mod.wrap_x(geom), max_off
     )
-    out = _call_padded(
-        PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
-        interpret, rowloop,
-        occ_edge="wrap" if halo_mod.wrap_x(geom) else "walls",
-        meta=meta,
-        eflag=_elastic_lanes(PFg, params, cfg, fl)
-        if rowloop and cfg.elastic_present
-        else None,
-    )
+    if not rowloop and getattr(cfg, "preshift_window", False):
+        out = _call_preshift(
+            PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
+            interpret, meta=meta,
+        )
+    else:
+        out = _call_padded(
+            PFp, _occ_from_packed(PFg), params, geom, cfg, NCg, BLK,
+            interpret, rowloop,
+            occ_edge="wrap" if halo_mod.wrap_x(geom) else "walls",
+            meta=meta,
+            eflag=_elastic_lanes(PFg, params, cfg, fl)
+            if rowloop and cfg.elastic_present
+            else None,
+        )
     out = halo_mod.trim_ghosts(out[:, :cap, :NCg], geom)
     return _unpack_accs(out, params, cfg, cap, NC)
 
@@ -1363,6 +1625,9 @@ def pass_a_sharded(
     block: int = 0,
     interpret: bool = False,
     rowloop: bool | None = None,
+    dt=0.0,
+    step=0,
+    seed=0,
 ) -> Dict[str, jax.Array]:
     """Pass A with per-device Pallas kernels under shard_map.
 
@@ -1374,9 +1639,11 @@ def pass_a_sharded(
     (comm_brick.cpp:460); there is no reverse exchange because pair sums
     are full-neighbor (newton off).
     """
+    meta = _thermal_meta(dt, step, seed) if cfg.thermal else None
     if geom.dim >= 3:
         return _pass_a_tiled3d_sharded(
-            pf, params, geom, cfg, mesh, axis, interpret=interpret
+            pf, params, geom, cfg, mesh, axis, interpret=interpret,
+            meta=meta,
         )
     if rowloop is None:
         rowloop = _default_rowloop(geom)
@@ -1405,7 +1672,7 @@ def pass_a_sharded(
     BLK = _kernel_block(geom, block, rowloop)
     NC_pad = _round_up(NC_loc, BLK)
 
-    def local(PFl):
+    def local(PFl, *margs):
         hl, hr = halo_mod.exchange_slabs(
             PFl, max_off, axis, n_shards, halo_mod.wrap_x(geom)
         )
@@ -1419,19 +1686,26 @@ def pass_a_sharded(
             # edge blocks read ppermute'd neighbor slabs whose occupancy is
             # unknown locally — assume full there
             occ_edge="cap",
+            meta=margs[0] if margs else None,
             eflag=_elastic_lanes(PFl, params, cfg, fl)
             if rowloop and cfg.elastic_present
             else None,
         )
         return out[:, :geom.cap, :NC_loc]
 
+    # thermal meta scalars replicate to every device (trace-time values);
+    # the pair-tag-keyed counter noise is shard-invariant by construction,
+    # so each shard draws the same stream for the same pair as the
+    # single-device kernel (the reference's random force under MPI:
+    # pair...transport_velocity.cpp:406-431)
+    margs = () if meta is None else (meta,)
     out = shard_map(
         local,
         mesh=mesh,
-        in_specs=P(None, None, axis),
+        in_specs=(P(None, None, axis),) + (P(None),) * len(margs),
         out_specs=P(None, None, axis),
         # the kernel's ShapeDtypeStruct outputs carry no vma annotation
         check_vma=False,
-    )(PFg)
+    )(PFg, *margs)
     out = halo_mod.trim_ghosts(out, geom)
     return _unpack_accs(out, params, cfg, cap, NC)

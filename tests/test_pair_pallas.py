@@ -45,6 +45,54 @@ def test_kernel_matches_jnp_path(cavity):
         assert err <= 5e-6 * scale, (name, err, scale)
 
 
+def test_preshift_matches_window_kernel(cavity):
+    """Round-5 PF9 experiment: the pre-shifted-views kernel
+    (`_call_preshift`, cfg.preshift_window) must be BIT-identical to the
+    [H|BLK|H] window kernel — same physics body, same masks, only the J
+    staging differs (aligned block refs over XLA-materialized shifted
+    views instead of in-kernel lane rotations)."""
+    state, params, spec = cavity
+    cfg = spec.pair
+    pf = _per_particle(state, params, cfg)
+    a0 = pass_a_pallas(
+        pf, params, spec.geom, cfg, block=128, interpret=True,
+        rowloop=False,
+    )
+    a1 = pass_a_pallas(
+        pf, params, spec.geom,
+        dataclasses.replace(cfg, preshift_window=True),
+        block=128, interpret=True, rowloop=False,
+    )
+    for name, _ in _acc_layout(params, cfg):
+        np.testing.assert_array_equal(
+            np.asarray(a0[name]), np.asarray(a1[name]), err_msg=name
+        )
+
+
+def test_preshift_periodic_wrap_matches():
+    """PF9 over a periodic-x grid: the shifted views inherit the wrap
+    content from the same assemble_padded buffer, so the wrap seam must be
+    bit-identical to the window kernel's."""
+    from sph_bvf_tpu.models import fsi
+
+    state, params, spec, _ = fsi.build(nx=12, rebin_every=5)
+    state = setup(state, params, spec, dt=1e-8)
+    geom, cfg = spec.geom, spec.pair
+    assert geom.periodic[0]
+    pf = _per_particle(state, params, cfg)
+    a0 = pass_a_pallas(
+        pf, params, geom, cfg, block=128, interpret=True, rowloop=False
+    )
+    a1 = pass_a_pallas(
+        pf, params, geom, dataclasses.replace(cfg, preshift_window=True),
+        block=128, interpret=True, rowloop=False,
+    )
+    for name, _ in _acc_layout(params, cfg):
+        np.testing.assert_array_equal(
+            np.asarray(a0[name]), np.asarray(a1[name]), err_msg=name
+        )
+
+
 def test_kernel_handles_species(cavity):
     """Species transport (C/Q) through the kernel, mechanics variant."""
     state, params, spec, _ = lid_cavity.build(N=12, Re=100.0)
