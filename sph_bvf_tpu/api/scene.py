@@ -315,6 +315,7 @@ class Scene:
         # build re-sizes x columns for equal per-slab particle counts if the
         # uniform-width imbalance exceeds the threshold
         self.balance_shards = 0
+        self._balance_fix = None
         self.balance_threshold = 2.0
 
     def balance(self, n_shards: int, threshold: float = 2.0):
@@ -334,6 +335,27 @@ class Scene:
         # in, False when requested but not applied (a warning says why),
         # None until build()
         self.balance_applied = None
+        return self
+
+    def fix_balance(self, n_shards: int, every: int = 1000,
+                    threshold: float = 1.5, min_budget: float = 0.0,
+                    occ_frac: float = 0.85):
+        """In-RUN dynamic rebalancing (the `fix balance` command,
+        fix_balance.cpp): simulate() re-cuts the x-column edges whenever
+        the live slab imbalance crosses ``threshold`` (checked every
+        ``every`` steps).  Composes with balance() (the build-time cut).
+        Implies ``ncx_multiple_of=n_shards``.  See
+        parallel/balance.BalanceFix for the cost model (each accepted
+        re-cut recompiles the step program) and ``min_budget``.
+        """
+        from sph_bvf_tpu.parallel.balance import BalanceFix
+
+        self._balance_fix = BalanceFix(
+            n_shards=int(n_shards), every=int(every),
+            threshold=float(threshold), min_budget=float(min_budget),
+            occ_frac=float(occ_frac),
+        )
+        self.ncx_multiple_of = max(self.ncx_multiple_of, int(n_shards))
         return self
 
     # -- domain -------------------------------------------------------------
@@ -778,5 +800,6 @@ class Scene:
             fixes=tuple(self._fixes),
             ssa=self._ssa_cfg,
             rebin_every=self.rebin_every,
+            balance=self._balance_fix,
         )
         return state, params, spec

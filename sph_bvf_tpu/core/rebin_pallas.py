@@ -77,12 +77,11 @@ def rebin_kernel_supported(dtype, geom, n_rows: int = 64) -> bool:
     the speciesless state's row count)."""
     if dtype != jnp.float32:
         return False
-    # non-uniform x columns (Geometry.x_edges, the load-balance lever):
-    # the kernel floor-bins positions in-kernel with 1/cell_size — a
-    # per-column edge table would need an in-kernel gather, which Mosaic
-    # lacks; those geometries take the jnp sort path
-    if geom.x_edges is not None:
-        return False
+    # non-uniform x columns (Geometry.x_edges) are kernel-supported since
+    # round 5: the candidate's fine-bin index (same floor arithmetic as
+    # state._x_column_of) is compared against per-lane integer fine-bin
+    # column bounds threaded as an aligned operand (2D) / scalar-prefetch
+    # row (3D planes) — no in-kernel gather needed, bit-identical binning
     # below ~3k cells the jnp sort pipeline is already cheap and the
     # kernel's fixed per-candidate crossbar cost loses (measured crossover
     # between NC=1.3k and 4.8k on v5e; 3.7x ahead by NC=113k)
@@ -174,6 +173,32 @@ def _rebin_gated(cap: int) -> bool:
     return cap > 16
 
 
+def _col_fine_bounds(geom) -> "np.ndarray":
+    """[2, nx] i32: each x-column's [first, one-past-last) fine-bin range —
+    the exact integer ranges state._x_column_table assigns, so an in-kernel
+    membership test (fine bin within the lane's own column range) is
+    bit-identical to the table gather."""
+    import numpy as np
+
+    q = geom.x_quantum
+    e = np.asarray(geom.x_edges, np.float64)
+    bins = np.round((e - e[0]) / q).astype(np.int32)
+    return np.stack([bins[:-1], bins[1:]], axis=0)
+
+
+def _lane_fine_bounds(geom, NCg: int) -> jax.Array:
+    """[2, NCg] i32: the fine-bin column bounds of every (ghosted) lane's
+    own x-column.  x is never ghosted (halo.ghost_axes covers y/z only),
+    so cx = lane // ghosted x-stride indexes the geometry's columns
+    directly."""
+    import numpy as np
+
+    bounds = _col_fine_bounds(geom)  # [2, nx]
+    sgx = halo_mod.ghosted_strides(geom)[0]
+    cx = np.arange(NCg, dtype=np.int64) // sgx
+    return jnp.asarray(bounds[:, cx])
+
+
 def _move_call(
     PFp: jax.Array,
     PIp: jax.Array,
@@ -183,6 +208,7 @@ def _move_call(
     BLK: int,
     g_base,
     interpret: bool,
+    XBp: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """The raw kernel over pre-assembled padded buffers.
 
@@ -234,14 +260,25 @@ def _move_call(
     # pre-round to f32 so the in-kernel multiply matches cell_index_of,
     # where the f64 python constant is rounded at trace time
     inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
+    edges = geom.x_edges is not None
+    if edges:
+        # the f64 python constant is cast to f32 at trace time in
+        # _x_column_of — replicate that rounding exactly
+        inv_q = float(np.float32(1.0 / geom.x_quantum))
+        from sph_bvf_tpu.core.state import _x_column_table
+
+        n_fine = int(_x_column_table(geom).shape[0])
 
     def kernel(*refs):
         if gated:
             gb_ref, occw_ref = refs[0], refs[1]
-            fl, fm, fr, il, im, ir, outf_ref, outi_ref = refs[2:]
+            rest = refs[2:]
         else:
             gb_ref = refs[0]
-            fl, fm, fr, il, im, ir, outf_ref, outi_ref = refs[1:]
+            rest = refs[1:]
+        if edges:
+            xb_ref, rest = rest[0], rest[1:]
+        fl, fm, fr, il, im, ir, outf_ref, outi_ref = rest
         b = pl.program_id(0)
 
         g = gb_ref[0] + b * BLK + jax.lax.broadcasted_iota(
@@ -267,13 +304,17 @@ def _move_call(
                         vj = vj & (c + o >= 0) & (c + o < n)
                 # candidate's new GLOBAL ghosted flat cell from its wrapped
                 # position (periodic axes use mod like cell_index_of; ghost
-                # axes shift by +1 into ghost numbering)
+                # axes shift by +1 into ghost numbering).  Non-uniform x
+                # columns: the candidate's fine-bin index (same clipped
+                # floor as _x_column_of) must fall in THIS lane's column
+                # range — columns partition the fine grid, so membership
+                # is exactly x-coordinate equality, with no gather.
                 ncell = jnp.zeros((1, BLK), jnp.int32)
                 for ax, (s, n) in enumerate(
                     ((sgx, geom.ncells[0]), (sgy, geom.ncells[1]),
                      (sgz, geom.ncells[2]))
                 ):
-                    if n == 1:
+                    if n == 1 or (ax == 0 and edges):
                         continue
                     xa = bf[xr + ax : xr + ax + 1, r, sl]
                     ci = jnp.floor((xa - lo[ax]) * inv[ax]).astype(jnp.int32)
@@ -284,7 +325,14 @@ def _move_call(
                     if ax in ga:
                         ci = ci + 1
                     ncell = ncell + ci * s
-                match = vj & (ncell == g)  # [1, BLK]
+                if edges:
+                    xa = bf[xr : xr + 1, r, sl]
+                    fj = jnp.floor((xa - lo[0]) * inv_q).astype(jnp.int32)
+                    fj = jnp.clip(fj, 0, n_fine - 1)
+                    matchx = (fj >= xb_ref[0:1, :]) & (fj < xb_ref[1:2, :])
+                    match = vj & matchx & (ncell == g % sgx)  # [1, BLK]
+                else:
+                    match = vj & (ncell == g)  # [1, BLK]
                 sel = match & (cnt == iota_s)  # [capk, BLK]
                 accF = jnp.where(
                     sel[None], bf[:, r, sl][:, None, :], accF
@@ -355,13 +403,20 @@ def _move_call(
         occb = jnp.max(occp.reshape(grid + 2, BLK), axis=1)
         occw = jnp.maximum(occb[:-2], jnp.maximum(occb[1:-1], occb[2:]))
         scalars.append(occw.astype(jnp.int32))
+    xb_specs, xb_args = [], []
+    if edges:
+        assert XBp is not None and XBp.shape == (2, NC_pad + 2 * BLK)
+        # only mid lanes are read (the bounds describe the TARGET lane)
+        xb_specs = [pl.BlockSpec((2, BLK), lambda b, *_: (0, b + 1),
+                                 memory_space=pltpu.VMEM)]
+        xb_args = [XBp]
     outf, outi = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(grid,),
-            in_specs=[hspec_l(Ff), spec(Ff, 1), hspec_r(Ff),
-                      hspec_l(Fi), spec(Fi, 1), hspec_r(Fi)],
+            in_specs=xb_specs + [hspec_l(Ff), spec(Ff, 1), hspec_r(Ff),
+                                 hspec_l(Fi), spec(Fi, 1), hspec_r(Fi)],
             out_specs=[
                 pl.BlockSpec((Ff, capk, BLK), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
@@ -377,7 +432,7 @@ def _move_call(
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*scalars, PFp, PFp, PFp, PIp, PIp, PIp)
+    )(*scalars, *xb_args, PFp, PFp, PFp, PIp, PIp, PIp)
     if capk != cap:
         outf, outi = outf[:, :cap], outi[:, :cap]
     return outf, outi
@@ -429,10 +484,18 @@ def _move_call_tiled3d(
 
     lo = tuple(float(v) for v in geom.lo)
     inv = tuple(float(np.float32(1.0 / cs)) for cs in geom.cell_size)
+    edges = geom.x_edges is not None
+    if edges:
+        inv_q = float(np.float32(1.0 / geom.x_quantum))
+        from sph_bvf_tpu.core.state import _x_column_table
+
+        n_fine = int(_x_column_table(geom).shape[0])
 
     def kernel(*refs):
-        pre_refs, rest = refs[:2], refs[2:]
-        occ_ref, xb_ref = pre_refs
+        if edges:
+            (occ_ref, xb_ref, xe_ref), rest = refs[:3], refs[3:]
+        else:
+            (occ_ref, xb_ref), rest = refs[:2], refs[2:]
         f_refs = rest[0:9]
         i_refs = rest[9:18]
         outf_ref, outi_ref = rest[18], rest[19]
@@ -508,13 +571,15 @@ def _move_call_tiled3d(
                         if o != 0:
                             vj = vj & (c + o >= 0) & (c + o < n)
                     # candidate's new GLOBAL ghosted flat cell id from its
-                    # wrapped position (same arithmetic as the 2D kernel)
+                    # wrapped position (same arithmetic as the 2D kernel).
+                    # Non-uniform x: the plane IS the column, so the
+                    # column bounds are per-plane SCALARS (prefetch row)
                     ncell = jnp.zeros((1, BLK), jnp.int32)
                     for ax, (s, n) in enumerate(
                         ((NYZ, geom.ncells[0]), (ngz, geom.ncells[1]),
                          (1, geom.ncells[2]))
                     ):
-                        if n == 1:
+                        if n == 1 or (ax == 0 and edges):
                             continue
                         xa = cf[xr + ax]
                         c2 = jnp.floor(
@@ -527,7 +592,18 @@ def _move_call_tiled3d(
                         if ax in ga:
                             c2 = c2 + 1
                         ncell = ncell + c2 * s
-                    match = vj & (ncell == g)
+                    if edges:
+                        xa = cf[xr]
+                        fj = jnp.floor(
+                            (xa - lo[0]) * inv_q
+                        ).astype(jnp.int32)
+                        fj = jnp.clip(fj, 0, n_fine - 1)
+                        matchx = (fj >= xe_ref[0, gx]) & (
+                            fj < xe_ref[1, gx]
+                        )
+                        match = vj & matchx & (ncell == l)
+                    else:
+                        match = vj & (ncell == g)
                     sel = match & (cnt == iota_s)  # [capk, BLK]
                     accF = jnp.where(sel[None], cf, accF)
                     accI = jnp.where(sel[None], ci_, accI)
@@ -561,10 +637,14 @@ def _move_call_tiled3d(
                      memory_space=pltpu.VMEM),
     ]
     xb = jnp.asarray(x_base, jnp.int32).reshape(1)
+    scalars = [occ9, xb]
+    if edges:
+        # per-GLOBAL-plane fine-bin column bounds, indexed at gx (scalar)
+        scalars.append(jnp.asarray(_col_fine_bounds(geom)))
     outf, outi = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(scalars),
             grid=(n_planes, n_yb),
             in_specs=plane_specs(Ff) + plane_specs(Fi),
             out_specs=out_specs,
@@ -577,7 +657,7 @@ def _move_call_tiled3d(
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(occ9, xb, *([PF4p] * 9), *([PI4p] * 9))
+    )(*scalars, *([PF4p] * 9), *([PI4p] * 9))
     return outf, outi
 
 
@@ -754,8 +834,12 @@ def move_pallas(
     PFp = halo_mod.assemble_padded(PFg, BLK, NC_pad, wrap, max_off)
     PIp = halo_mod.assemble_padded(PIg, BLK, NC_pad, wrap, max_off)
 
+    XBp = None
+    if geom.x_edges is not None:
+        XB = _lane_fine_bounds(geom, NCg)
+        XBp = jnp.pad(XB, ((0, 0), (BLK, NC_pad - NCg + BLK)))
     outf, outi = _move_call(
-        PFp, PIp, geom, _x_row(fmeta), NCg, BLK, 0, interpret
+        PFp, PIp, geom, _x_row(fmeta), NCg, BLK, 0, interpret, XBp=XBp
     )
     outf = halo_mod.trim_ghosts(outf[:, :, :NCg], geom)
     outi = halo_mod.trim_ghosts(outi[:, :, :NCg], geom)
@@ -815,7 +899,11 @@ def move_pallas_sharded(
     xr = _x_row(fmeta)
     wrap = halo_mod.wrap_x(geom)
 
-    def local(PFl, PIl):
+    XBg = (
+        _lane_fine_bounds(geom, NCg) if geom.x_edges is not None else None
+    )
+
+    def local(PFl, PIl, *xb):
         idx = jax.lax.axis_index(axis)
         fhl, fhr = halo_mod.exchange_slabs(PFl, max_off, axis, n_shards, wrap)
         ihl, ihr = halo_mod.exchange_slabs(PIl, max_off, axis, n_shards, wrap)
@@ -827,19 +915,27 @@ def move_pallas_sharded(
             PIl, BLK, NC_pad, wrap=False, max_off=max_off,
             halo_left=ihl, halo_right=ihr,
         )
+        XBp = (
+            jnp.pad(xb[0], ((0, 0), (BLK, NC_pad - NC_loc + BLK)))
+            if xb
+            else None
+        )
         outf, outi = _move_call(
-            PFp, PIp, geom, xr, NC_loc, BLK, idx * NC_loc, interpret
+            PFp, PIp, geom, xr, NC_loc, BLK, idx * NC_loc, interpret,
+            XBp=XBp,
         )
         return outf[:, :, :NC_loc], outi[:, :, :NC_loc]
 
+    xb_args = () if XBg is None else (XBg,)
     outf, outi = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis)),
+        in_specs=(P(None, None, axis), P(None, None, axis))
+        + (P(None, axis),) * len(xb_args),
         out_specs=(P(None, None, axis), P(None, None, axis)),
         # the kernel's ShapeDtypeStruct outputs carry no vma annotation
         check_vma=False,
-    )(PFg, PIg)
+    )(PFg, PIg, *xb_args)
     outf = halo_mod.trim_ghosts(outf, geom)
     outi = halo_mod.trim_ghosts(outi, geom)
     return _unpack_fields(outf, outi, fmeta, imeta, fields, cap, NC)

@@ -83,6 +83,12 @@ class Geometry:
     # coverage requirement); cell_size[0] then records the MINIMUM width.
     x_edges: Tuple[float, ...] | None = None
     x_quantum: float = 0.0
+    # The kernel cutoff the grid was sized for — recorded so in-run
+    # rebalancing (parallel/balance.rebalance) can re-cut x_edges while
+    # preserving the stencil-coverage requirement (every width > cutoff)
+    # without access to the original Scene.  0 = unknown (pre-round-5
+    # checkpoints); rebalancing then refuses to run.
+    cutoff: float = 0.0
 
     @property
     def ncells_total(self) -> int:
@@ -186,6 +192,7 @@ class Geometry:
             periodic=tuple(periodic),
             drift_budget=max(budget, 0.0),
             base_occ=base_occ,
+            cutoff=float(cutoff),
         )
 
 
@@ -480,7 +487,7 @@ def _flat_slots(a):
 
 def rebin(
     state: State, geom: Geometry, drop: tuple = (), use_pallas: bool = True,
-    mesh=None, mesh_axis: str = "x",
+    mesh=None, mesh_axis: str = "x", drift_check: bool = True,
 ) -> State:
     """Re-scatter every particle into the cell slot owned by its position.
 
@@ -511,8 +518,11 @@ def rebin(
 
     # drift check BEFORE re-wrapping/re-binning: how far outside its assigned
     # cell has each particle strayed since the last rebin?
+    # ``drift_check=False``: a cross-geometry re-bin (in-run rebalance) —
+    # slots still reflect the OLD geometry's cells, so measuring excess
+    # against the new edges would count spurious violations
     drift_violation = state.drift_violation
-    if geom.drift_budget > 0:
+    if geom.drift_budget > 0 and drift_check:
         cell_ids = jnp.arange(NC, dtype=jnp.int32)
         lo = jnp.asarray(geom.lo)
         cs = jnp.asarray(geom.cell_size)
@@ -550,6 +560,10 @@ def rebin(
         for a in fields.values()
     )
     n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    # a cross-geometry re-bin moves particles arbitrarily far — only the
+    # global sort path below can place them (the locality kernel's 1-ring
+    # crossbar would drop them as overflow)
+    use_pallas = use_pallas and drift_check
     use_sharded = (
         use_pallas
         and n_shards > 1

@@ -67,6 +67,11 @@ class ModelSpec:
     rebin_every: int = 10
     mesh: Optional[Any] = None  # jax.sharding.Mesh
     mesh_axis: str = "x"
+    # In-run dynamic load rebalancing (parallel/balance.BalanceFix — the
+    # fix_balance.cpp analog).  simulate() re-cuts Geometry.x_edges at
+    # chunk boundaries when the slab imbalance crosses the threshold; each
+    # accepted re-cut recompiles the step program (Geometry is static).
+    balance: Optional[Any] = None
 
 
 def step(state: State, params: Params, spec: ModelSpec) -> State:
@@ -131,12 +136,23 @@ def simulate(
     nsteps: int,
     callback=None,
     callback_every: Optional[int] = None,
+    balance_log: Optional[list] = None,
 ):
     """Host driver: run nsteps, invoking ``callback(state)`` periodically.
 
     ``callback_every`` defaults to one chunk.  The callback sees the state at
     chunk granularity (dump/thermo cadence should be a multiple of
     rebin_every for exact-step output).
+
+    With ``spec.balance`` set (parallel/balance.BalanceFix), the slab
+    imbalance is checked every ``balance.every`` steps; past the threshold
+    the x-column edges are re-cut from the live particle positions and the
+    state is re-binned into the new geometry (the fix_balance.cpp analog).
+    An accepted re-cut replaces ``spec.geom`` for the rest of the run —
+    callbacks that captured the original geometry keep working (state
+    shapes never change), but geometry-aware consumers should read the
+    entries appended to ``balance_log`` (dicts with ``step``, ``geom``,
+    and the before/after imbalance).
     """
     from sph_bvf_tpu.utils.thermo import StopSimulation
 
@@ -176,8 +192,39 @@ def simulate(
                     f"tail; reduce dt or kappaSSA for exact-SSA statistics"
                 )
 
+    bal = spec.balance
+    next_bal = bal.every if bal is not None else None
+
     done = 0
     while done < nsteps:
+        if bal is not None and done >= next_bal:
+            next_bal += bal.every
+            from sph_bvf_tpu.parallel.balance import rebalance
+
+            new_geom, info = rebalance(state, spec.geom, bal)
+            if new_geom is not None:
+                # cross-geometry move: global sort path, no drift check
+                # (slots still reflect the old edges)
+                trial = rebin(
+                    state, new_geom, drop=_rebin_drop(spec),
+                    use_pallas=False, mesh=spec.mesh,
+                    mesh_axis=spec.mesh_axis, drift_check=False,
+                )
+                if int(trial.overflow) == int(state.overflow):
+                    state = trial
+                    spec = dataclasses.replace(spec, geom=new_geom)
+                    if balance_log is not None:
+                        balance_log.append(
+                            dict(step=done, geom=new_geom, **info)
+                        )
+                else:
+                    print(
+                        f"[balance] step {done}: re-cut rejected — new "
+                        f"binning overflows cap={new_geom.cap} "
+                        f"(imbalance {info.get('imbalance')})"
+                    )
+            elif balance_log is not None and "reason" in info:
+                balance_log.append(dict(step=done, geom=None, **info))
         n = min(chunk, nsteps - done)
         state = run_chunk(state, params, spec, n)
         done += n

@@ -42,6 +42,7 @@ def _geom_meta(geom: Geometry) -> dict:
         base_occ=geom.base_occ,
         x_edges=list(geom.x_edges) if geom.x_edges is not None else None,
         x_quantum=geom.x_quantum,
+        cutoff=geom.cutoff,
     )
 
 
@@ -99,6 +100,7 @@ def load_with_geometry(path: str):
                 else None
             ),
             x_quantum=float(meta.get("x_quantum", 0.0)),
+            cutoff=float(meta.get("cutoff", 0.0)),
         )
         kwargs = {
             f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(State)

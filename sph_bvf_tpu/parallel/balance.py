@@ -29,6 +29,7 @@ dense-blob scene in tests/test_sharding.py.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -100,6 +101,149 @@ def balanced_x_edges(
     assert edges[-1] == n_fine
     assert all(b - a >= k_min for a, b in zip(edges, edges[1:]))
     return edges
+
+
+@dataclasses.dataclass(frozen=True)
+class BalanceFix:
+    """In-run dynamic load rebalancing — the `fix balance` analog
+    (fix_balance.cpp:1-341, shift style).
+
+    Attach via ``ModelSpec(balance=BalanceFix(...))`` (or
+    ``Scene.fix_balance``); ``core/stepper.simulate`` then checks the slab
+    imbalance every ``every`` steps at a chunk boundary and, past
+    ``threshold``, re-cuts ``Geometry.x_edges`` from the CURRENT particle
+    positions (``rebalance`` below) and re-bins the state into the new
+    geometry via the global-sort path.  Shapes (ncells, cap) never change,
+    so state arrays are untouched — but the Geometry is a trace-time
+    constant, so each accepted re-cut compiles a fresh step program (XLA's
+    static-shape bargain; the reference mutates subbox bounds in place).
+    Rebalance cadence should therefore be event-driven and coarse: the
+    default ``every`` is 1000 steps and a re-cut only happens when the
+    imbalance actually crossed the threshold AND the new edges improve it
+    by ``min_gain``.
+
+    ``min_budget``: minimum post-rebalance drift budget.  Equal-count
+    columns can be arbitrarily close to the cutoff width, which would
+    leave no drift margin; set this to at least
+    ``max|v| * dt * rebin_every`` for the run.
+    """
+
+    n_shards: int
+    every: int = 1000
+    threshold: float = 1.5
+    min_gain: float = 1.2
+    min_budget: float = 0.0
+    # Occupancy trigger: also re-cut when the max cell occupancy reaches
+    # this fraction of cap — a density bulge drifting into columns cut for
+    # a sparser region fills cells (lost atoms) long before the SHARD
+    # imbalance crosses threshold.  The moral analog of the reference's
+    # neighbor-weighted imbalance (imbalance_neigh.cpp).  0 disables.
+    occ_frac: float = 0.85
+
+
+def rebalance(state, geom, fix: BalanceFix):
+    """Propose re-cut x_edges for the current particle distribution.
+
+    Returns ``(new_geom | None, info)``: None when neither trigger fires
+    (shard imbalance under ``fix.threshold`` AND max cell occupancy under
+    ``occ_frac * cap``), when the geometry cannot be re-cut (unknown
+    cutoff, nx not divisible), or when the best new edge set does not
+    improve the firing metric by ``fix.min_gain``.  The caller re-bins
+    into ``new_geom`` with ``rebin(..., use_pallas=False,
+    drift_check=False)`` (cross-geometry move) and must keep the OLD
+    geometry if that overflows.
+    """
+    ns = fix.n_shards
+    counts = slab_counts(state.valid, geom, ns)
+    f = imbalance(counts)
+    occ_now = int(jnp.max(jnp.sum(state.valid.astype(jnp.int32), axis=0)))
+    occ_fire = fix.occ_frac > 0 and occ_now >= fix.occ_frac * geom.cap
+    info = dict(imbalance=round(f, 3), max_occ=occ_now)
+    if f <= fix.threshold and not occ_fire:
+        return None, info
+    nx = geom.ncells[0]
+    if geom.cutoff <= 0.0:
+        info["reason"] = "geometry records no cutoff (pre-round-5 build)"
+        return None, info
+    if nx % ns:
+        info["reason"] = f"nx={nx} not divisible by {ns} shards"
+        return None, info
+    q = geom.x_quantum if geom.x_quantum > 0 else geom.cell_size[0] / 8.0
+    cov = (
+        geom.x_edges[-1] - geom.lo[0]
+        if geom.x_edges is not None
+        else nx * geom.cell_size[0]
+    )
+    n_fine = int(round(cov / q))
+    # minimum column width: strictly above cutoff + twice the requested
+    # drift budget (same criterion as Scene._maybe_balance, plus margin)
+    wmin = geom.cutoff + 2.0 * fix.min_budget
+    k_min = max(int(np.ceil(wmin / q)), 1)
+    while k_min * q - wmin < 1e-6 * q:
+        k_min += 1
+    if n_fine < nx * k_min:
+        info["reason"] = (
+            f"{n_fine} fine bins < {nx} columns x k_min={k_min}"
+        )
+        return None, info
+    v = np.asarray(state.valid)
+    xv = np.asarray(state.x)[:, v]
+    if geom.periodic[0]:
+        ext = cov
+        x0 = geom.lo[0] + np.mod(xv[0] - geom.lo[0], ext)
+    else:
+        x0 = xv[0]
+    edges_f = balanced_x_edges(x0, geom.lo[0], q, n_fine, nx, k_min)
+    e = np.asarray([geom.lo[0] + b * q for b in edges_f])
+    col = np.clip(np.searchsorted(e, x0, side="right") - 1, 0, nx - 1)
+    s = np.bincount(col // (nx // ns), minlength=ns)
+    fb = float(s.max() / max(s.mean(), 1.0))
+    info["new_imbalance"] = round(fb, 3)
+    # projected max cell occupancy under the new edges (host bincount
+    # over (column, remaining-axis cells)) — the occupancy trigger's
+    # accept metric, and a hard feasibility bound either way
+    inner = np.zeros_like(col)
+    scale = 1
+    for ax in range(1, geom.dim):
+        c = np.floor(
+            (xv[ax] - geom.lo[ax]) / geom.cell_size[ax]
+        ).astype(np.int64)
+        if geom.periodic[ax]:
+            c = np.mod(c, geom.ncells[ax])
+        else:
+            c = np.clip(c, 0, geom.ncells[ax] - 1)
+        inner = inner * geom.ncells[ax] + c
+        scale *= geom.ncells[ax]
+    occ_new = int(np.bincount(col * scale + inner).max())
+    info["new_max_occ"] = occ_new
+    if occ_new > geom.cap:
+        info["reason"] = f"new binning would overflow cap ({occ_new})"
+        return None, info
+    improves = fb * fix.min_gain < f or (
+        occ_fire and occ_new * fix.min_gain < occ_now
+    )
+    if not improves:
+        info["reason"] = "no improving edge set under the width constraint"
+        return None, info
+    widths = np.diff(e)
+    budget = min(
+        [(float(widths.min()) - geom.cutoff) / 2.0]
+        + [
+            (geom.cell_size[ax] - geom.cutoff) / 2.0
+            for ax in range(1, geom.dim)
+        ]
+    )
+    new_geom = dataclasses.replace(
+        geom,
+        x_edges=tuple(float(b) for b in e),
+        x_quantum=q,
+        cell_size=(float(widths.min()),) + tuple(geom.cell_size[1:]),
+        drift_budget=max(float(budget), 0.0),
+        # variable widths break the uniform-lattice-occupancy assumption
+        # behind the pair kernel's i-row gate
+        base_occ=0,
+    )
+    return new_geom, info
 
 
 def report(state, geom, n_shards: int, warn_factor: float = 2.0) -> dict:

@@ -239,6 +239,79 @@ def _compare_rebin(state, geom, monkeypatch, sharded_mesh=None):
     np.testing.assert_array_equal(cell[valid], owner[valid])
 
 
+def _with_synthetic_edges(state, geom, pattern=(7, 9)):
+    """Swap a uniform geometry's x columns for alternating widths on the
+    cell/8 fine quantum (mean must stay 8 so coverage is preserved), then
+    re-bin into it via the global sort (cross-geometry move).  Exercises
+    the round-5 x_edges kernel support with a cap-preserving, overflow-free
+    perturbation (width ratio 9/7 < the 1.3x cap headroom)."""
+    nx = geom.ncells[0]
+    q = geom.cell_size[0] / 8.0
+    widths = [pattern[i % len(pattern)] for i in range(nx)]
+    if nx % len(pattern):  # keep total coverage exact
+        widths[-1] = 8 * nx - sum(widths[:-1])
+    bins = np.concatenate([[0], np.cumsum(widths)])
+    e = tuple(float(geom.lo[0] + b * q) for b in bins)
+    new_geom = dataclasses.replace(
+        geom, x_edges=e, x_quantum=float(q), base_occ=0,
+        cell_size=(float(min(widths) * q),) + tuple(geom.cell_size[1:]),
+    )
+    st = S.rebin(state, new_geom, use_pallas=False, drift_check=False)
+    assert int(st.overflow) == 0
+    return st, new_geom
+
+
+@pytest.mark.slow
+def test_rebin_x_edges_2d(monkeypatch):
+    """Non-uniform x columns through the 2D rebin kernel (round-4 verdict
+    #3): the per-lane fine-bin bounds operand must reproduce the jnp
+    table binning bit-exactly — static crossbar (cap<=16), walls."""
+    state, params, spec, _ = lid_cavity.build(N=30, Re=100.0)
+    state = setup(state, params, spec, dt=1e-4)
+    state, geom = _with_synthetic_edges(state, spec.geom)
+    state = _drift(state, geom)
+    _compare_rebin(state, geom, monkeypatch)
+
+
+@pytest.mark.slow
+def test_rebin_x_edges_gated_periodic(monkeypatch, fsi_state):
+    """x_edges + periodic x + the occupancy-gated large-cap crossbar."""
+    state, params, spec = fsi_state
+    assert spec.geom.cap > 16  # gated path
+    state, geom = _with_synthetic_edges(state, spec.geom)
+    state = _drift(state, geom)
+    _compare_rebin(state, geom, monkeypatch)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_rebin_x_edges_sharded(monkeypatch):
+    """x_edges under shard_map: the bounds operand shards with the lanes;
+    cross-shard migration still falls out of the global-cell-id match."""
+    from sph_bvf_tpu.parallel.mesh import make_mesh
+
+    state, params, spec, _ = lid_cavity.build(
+        N=48, Re=100.0, dt=1e-4, ncx_multiple_of=8
+    )
+    state = setup(state, params, spec, dt=1e-4)
+    state, geom = _with_synthetic_edges(state, spec.geom)
+    state = _drift(state, geom)
+    _compare_rebin(state, geom, monkeypatch, sharded_mesh=make_mesh(8))
+
+
+@pytest.mark.slow
+def test_rebin_x_edges_3d(monkeypatch):
+    """x_edges through the tiled 3D kernel: planes are columns, so the
+    bounds ride a scalar-prefetch row indexed by the global plane."""
+    from sph_bvf_tpu.models import lid_cavity3d
+
+    state, params, spec, _ = lid_cavity3d.build(N=10)
+    state = setup(state, params, spec, dt=1e-4)
+    state, geom = _with_synthetic_edges(state, spec.geom)
+    state = _drift(state, geom)
+    _compare_rebin(state, geom, monkeypatch)
+
+
 @pytest.mark.slow
 def test_rebin_periodic_x(fsi_state, monkeypatch):
     state, params, spec = fsi_state

@@ -163,6 +163,103 @@ def test_balance_lever_dense_blob():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8, err_msg=name)
 
 
+def _drift_blob_scene(dt=2e-4, balance=False, inrun=False, **fix_kw):
+    """A dense blob drifting +x at 2.0 through a periodic channel — the
+    density pattern translates across shard widths, so edges cut for the
+    initial blob position go stale (occupancy pressure first, shard
+    imbalance later).  Forces are negligible (c0=1e-3, eta=0): the motion
+    is pure advection, so the long tag-matched comparison tests the
+    BOOKKEEPING (re-cut + cross-geometry re-bin) without chaotic f64
+    rounding amplification.  Periodic x keeps the drift contract honest
+    forever (an open boundary would let the front run past the last cell
+    and trip the drift guard).  Sparse lattice 0.04 < h = 0.05: an
+    isolated particle has rhoAux2 = 0 and the step-20 Shepard filter
+    would divide 0/0 (the reference's rho = rhoAux1/rhoAux2 does the
+    same)."""
+    from sph_bvf_tpu.api.scene import Region, Scene
+
+    sc = Scene(dim=2, boundary=("p", "f", "p"))
+    sc.ncx_multiple_of = 8
+    sc.create_box(1, Region.block(0, 2.4, 0, 0.6, 0, 0.02))
+    sc.lattice("sq", 0.02)
+    sc.create_atoms(1, Region.block(0, 1.08, 0, 1, -1, 1))
+    sc.lattice("sq", 0.04)
+    sc.create_atoms(1, Region.block(1.1, 2.38, 0, 1, -1, 1))
+    sc.mass(1, 4e-4)
+    sc.set("all", rho=1.0, e=0.0)
+    sc.velocity("all", 2.0)
+    sc.pair_style("transport_velocity")
+    sc.pair_coeff(1, 1, 1.0, 1e-3, 0.0, 0.05, 0.05, 0.0)
+    sc.integrator("transport_velocity")
+    sc.rebin_every = 5
+    sc.timestep(dt)
+    if balance:
+        sc.balance(8, threshold=1.2)
+    if inrun:
+        sc.fix_balance(8, **fix_kw)
+    return sc
+
+
+@pytest.mark.slow
+def test_fix_balance_inrun_drifting_blob():
+    """In-run dynamic rebalancing (round-4 verdict #2; fix_balance.cpp
+    analog), composed with the build-time cut exactly like the
+    reference's `balance` + `fix balance` pairing: the blob drifting
+    across the balanced columns must re-trigger edge re-cuts mid-run
+    (occupancy pressure fires before the shard imbalance does — the
+    narrow blob columns it leaves cannot hold the blob's density), the
+    run must finish with zero lost atoms and zero drift violations where
+    the STATIC balanced geometry overflows, and the tag-matched physics
+    must equal the uniform-grid run (binning is bookkeeping; the pair
+    kernels re-test the true cutoff)."""
+    from sph_bvf_tpu.core.stepper import simulate
+    from sph_bvf_tpu.parallel.balance import report
+
+    nsteps = 1000
+    state_u, params_u, spec_u = _drift_blob_scene().build()
+    state_b, params_b, spec_b = _drift_blob_scene(
+        balance=True, inrun=True,
+        every=50, threshold=1.5, min_budget=2.5e-3, occ_frac=0.8,
+    ).build()
+    assert spec_b.balance is not None and spec_u.balance is None
+    assert spec_b.geom.x_edges is not None  # build-time cut applied
+    state_u = setup(state_u, params_u, spec_u, dt=2e-4)
+    state_b = setup(state_b, params_b, spec_b, dt=2e-4)
+
+    log = []
+    out_u = simulate(state_u, params_u, spec_u, nsteps)
+    out_b = simulate(state_b, params_b, spec_b, nsteps, balance_log=log)
+
+    cuts = [e for e in log if e["geom"] is not None]
+    # the drifting density must have re-triggered the re-cut mid-run
+    # with a DIFFERENT edge set each time
+    assert len(cuts) >= 2, log
+    edges = [c["geom"].x_edges for c in cuts]
+    assert len(set(edges)) == len(edges)
+    cap = spec_b.geom.cap
+    for c in cuts:
+        # every accepted cut fired a real trigger and improved its metric
+        fired_imb = c["imbalance"] > 1.5
+        fired_occ = c["max_occ"] >= 0.8 * cap
+        assert fired_imb or fired_occ, c
+        assert c["new_imbalance"] < 1.5, c
+        assert c["new_max_occ"] <= cap, c
+    # the drifting density bulge is an occupancy problem before it is a
+    # shard-imbalance problem — the occ trigger must have done real work
+    assert any(c["max_occ"] >= 0.8 * cap for c in cuts), cuts
+    # the final geometry keeps the live distribution balanced
+    rep = report(out_b, cuts[-1]["geom"], 8)
+    assert rep["imbalance"] < 1.5, rep
+
+    assert int(out_b.overflow) == 0 and int(out_b.drift_violation) == 0
+    # physics equivalence, tag by tag (f64 on CPU; rebinning only
+    # reorders summation)
+    for name in ("x", "v", "vest", "rho"):
+        a = _fields_by_tag(out_u, name)
+        b = _fields_by_tag(out_b, name)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8, err_msg=name)
+
+
 def test_balance_report():
     """parallel/balance: the balance.cpp imbalance-factor analog — uniform
     lattice ~1.0, synthetic crowding trips the warning."""

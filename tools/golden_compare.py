@@ -43,6 +43,26 @@ CASES = {
                   "variable           Nyint equal 200"],
         dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
     ),
+    "natural_convection_ra5": dict(
+        model="natural_convection",
+        script="/root/reference/examples/ssa-tsdpd/natural_convection/"
+               "Ra_10E5/natural_convection.lmp",
+        nt_line="variable     nt equal 10000000",
+        nx_lines=["variable           Nxint equal 200",
+                  "variable           Nyint equal 200"],
+        dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
+        build_kwargs=lambda nx: dict(N=nx, Ra=1e5, dt=1e-4),
+    ),
+    "natural_convection_ra6": dict(
+        model="natural_convection",
+        script="/root/reference/examples/ssa-tsdpd/natural_convection/"
+               "Ra_10E6/natural_convection.lmp",
+        nt_line="variable     nt equal 10000000",
+        nx_lines=["variable           Nxint equal 200",
+                  "variable           Nyint equal 200"],
+        dump_fields="id type x y z vx vy vz c_rho c_phi c_concentration1",
+        build_kwargs=lambda nx: dict(N=nx, Ra=1e6, dt=1e-4),
+    ),
     "cell_polarization": dict(
         script="/root/reference/examples/ssa-tsdpd/cell_polarization/"
                "case_1/cell_polarization.lmp",
@@ -145,7 +165,8 @@ def run_ours(model: str, nx: int, steps: int, f64: bool):
     case = CASES[model]
     kw = case.get("build_kwargs", lambda n: dict(N=n, dt=1e-4))(nx)
     dt = case.get("dt", 1e-4)
-    state, params, spec, sc = REGISTRY[model](rebin_every=10, **kw)
+    state, params, spec, sc = REGISTRY[case.get("model", model)](
+        rebin_every=10, **kw)
     if f64:
         import dataclasses
 
@@ -285,7 +306,7 @@ def main():
             cnt = np.bincount(flat, minlength=B * B)
             s = np.stack(
                 [np.bincount(flat, weights=v[:, k], minlength=B * B)
-                 for k in range(2)], axis=1)
+                 for k in range(v.shape[1])], axis=1)
             return s / np.maximum(cnt, 1)[:, None], cnt
 
         fr, cr = binmean(xr, vr)
@@ -296,6 +317,19 @@ def main():
               f"max|dU|={d.max():.3e}  mean|dU|={d.mean():.3e}  "
               f"rel(max)={d.max()/vscale:.3e}  "
               f"rel(mean)={d.mean()/vscale:.3e}")
+        if "c_concentration1" in cpp1 and "C" in ours:
+            # Eulerian temperature/species field (convection: C[0] is the
+            # nondimensional temperature)
+            Tr = cpp1["c_concentration1"][:, None]
+            To = np.asarray(ours["C"])[:, :1]
+            ftr, _ = binmean(xr, Tr)
+            fto, _ = binmean(xo, To)
+            dT = np.abs(ftr - fto)[both]
+            tscale = max(np.abs(ftr[both]).max(), 1e-12)
+            print(f"field({B}x{B}) T: max|dT|={dT.max():.3e}  "
+                  f"mean|dT|={dT.mean():.3e}  "
+                  f"rel(max)={dT.max()/tscale:.3e}  "
+                  f"rel(mean)={dT.mean()/tscale:.3e}")
 
 
 if __name__ == "__main__":
