@@ -151,12 +151,36 @@ def _time_model(build, dt, n_chunks, warmup_chunks=1):
     state, params, spec, sc = build()
     n_particles = int(state.n_valid)
     state = setup(state, params, spec, dt=dt or sc._dt)
+    # filter-cadence phase tracking (mirrors simulate): chunks whose steps
+    # all fall between density-filter events elide the rhoAux accumulation
+    freq = getattr(spec.integ, "freq_filter", 0)
+    gated = spec.integ.reads_rhoaux() and spec.pair.density_filter_accs
+    done = int(state.step)
+
+    def chunk(s):
+        phase = (done % freq) if gated else None
+        return run_chunk(s, params, spec, spec.rebin_every, phase=phase)
+
     for _ in range(warmup_chunks):
-        state = run_chunk(state, params, spec, spec.rebin_every)
+        state = chunk(state)
+        done += spec.rebin_every
+    # pre-compile every phase variant the timed loop will hit, so compile
+    # time never lands inside the timing window: the phase sequence is
+    # periodic, so running whole extra warmup chunks until every phase in
+    # one period has executed covers the timed loop too (aligned cadences
+    # give <= 2 variants)
+    if gated:
+        need = {(done + k * spec.rebin_every) % freq for k in range(n_chunks)}
+        need -= {(done - spec.rebin_every) % freq}  # warmed already
+        while need:
+            need.discard(done % freq)
+            state = chunk(state)
+            done += spec.rebin_every
     _barrier(state)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state = run_chunk(state, params, spec, spec.rebin_every)
+        state = chunk(state)
+        done += spec.rebin_every
     _barrier(state)
     dt_wall = time.perf_counter() - t0
     steps = n_chunks * spec.rebin_every

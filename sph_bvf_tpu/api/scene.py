@@ -763,6 +763,13 @@ class Scene:
             integ.variant in ("bvf", "artificial_stress", "zhang"),
         )
         pair_kwargs.setdefault("free_solids_present", free_solids)
+        # Shepard-filter accumulators are read only by integrators that
+        # actually run the density filter (fsi's 1e16 cadence sentinel and
+        # the plain-bvf family never do) — permanently elide the dead
+        # accumulation for those (measured 7.2% of the flagship pass-A
+        # kernel).  Integrators that DO filter keep True here and get the
+        # per-step cadence gating in run_chunk instead.
+        pair_kwargs.setdefault("density_filter_accs", integ.reads_rhoaux())
         # coefficient tables whose entries are all equal collapse to a
         # scalar broadcast in the pair drivers (PairConfig.uniform_tables);
         # each derived table (coeff_tables) is uniform iff its source

@@ -62,6 +62,20 @@ class IntegratorConfig:
     # update (fix...mechanics.cpp:395 vs fix...transport_velocity.cpp:373)
     density_dtv: bool = False
 
+    def reads_rhoaux(self) -> bool:
+        """Does final_integrate ever consume the Shepard-filter
+        accumulators (rhoAux1/rhoAux2)?  Only the transport-velocity
+        family and zhang apply the filter, and only when the cadence is a
+        real one (fsi's 1e16 sentinel means never).  When False, the pair
+        pass skips accumulating them entirely — exactly dead work
+        (PairConfig.density_filter_accs); when True, the stepper can
+        still skip them on the 19-of-20 steps between filter events
+        (run_chunk's ``phase`` segmentation)."""
+        return (
+            self.variant in (TRANSPORT_VELOCITY, MECHANICS, FSI, ZHANG)
+            and 0 < self.freq_filter <= 2**31 - 1
+        )
+
     @staticmethod
     def transport_velocity(**kw):
         return IntegratorConfig(variant=TRANSPORT_VELOCITY, **kw)

@@ -129,6 +129,14 @@ class PairConfig:
     # round-4 decomposition showed the BlockSpec pipeline overlaps.
     # Grouped 2D shapes only (rowloop/3D keep the window design).
     preshift_window: bool = False
+    # accumulate the Shepard-filter inputs rhoAux1/rhoAux2 this step?
+    # They are read only on density-filter steps (freq_filter cadence),
+    # so run_chunk's phase segmentation flips this off for the steps in
+    # between, and Scene.build sets it False permanently for integrators
+    # that never filter (IntegratorConfig.reads_rhoaux).  Exact: the
+    # accumulators are rebuilt from scratch every step and nothing else
+    # reads them.  Measured 7.2% of the flagship pass-A kernel (round 5).
+    density_filter_accs: bool = True
     # coefficient tables (coeff_tables) whose [T, T] entries are all equal —
     # computed by Scene.build from the concrete pair_coeff values.  The pair
     # drivers collapse these to a scalar broadcast instead of a per-pair
@@ -507,8 +515,15 @@ def _pass_a_offset(I, J, coeffs, params: Params, cfg: PairConfig, dt, step, nots
 
     # ---- sweep 1 ----------------------------------------------------------
     acc["num_den"] += jnp.sum(Vj2 * wfBvf, axis=RED)
-    acc["rhoAux1"] += jnp.sum(J["rhoI"] * wfBvf, axis=RED)
-    acc["rhoAux2"] += jnp.sum(wfBvf, axis=RED)
+    # Shepard-filter accumulators: consumed by final_integrate only on
+    # steps where step % freq_filter == 0, so the stepper runs the
+    # 19-of-20 steps in between with density_filter_accs=False — exactly
+    # dead work elided (measured 7.2% of the flagship kernel, round 5).
+    # Integrators that never filter (fsi's 1e16 cadence, plain bvf) get
+    # the flag False for every step at Scene.build.
+    if getattr(cfg, "density_filter_accs", True):
+        acc["rhoAux1"] += jnp.sum(J["rhoI"] * wfBvf, axis=RED)
+        acc["rhoAux2"] += jnp.sum(wfBvf, axis=RED)
     # background-pressure velocity correction, Adami 2013 (:252-254);
     # wfd2 == wfd because hRatio is hardcoded 1.0 (:186,:214).
     ddv_coef = 10.0 * 7.0 * I["B"] * (Vi2 + Vj2) * wfd

@@ -489,3 +489,104 @@ def test_dt_adaptive_changes_dt_inside_chunk():
     xa = gather_particles(st, geom, fields=("x",))["x"]
     xb = gather_particles(st_fixed, geom, fields=("x",))["x"]
     assert np.abs(xa - xb).max() > 0
+
+
+def test_reads_rhoaux_classification():
+    """IntegratorConfig.reads_rhoaux drives the density-filter elision:
+    only integrators that actually run the Shepard filter (a real
+    freq_filter cadence on a filtering variant) may consume rhoAux1/2.
+    fsi's 1e16 sentinel (fix...fsi.cpp:304) means never."""
+    assert IntegratorConfig.transport_velocity().reads_rhoaux()
+    assert IntegratorConfig.mechanics().reads_rhoaux()
+    assert IntegratorConfig.zhang().reads_rhoaux()
+    assert not IntegratorConfig.fsi().reads_rhoaux()
+    assert not IntegratorConfig.bvf().reads_rhoaux()
+    assert not IntegratorConfig.artificial_stress().reads_rhoaux()
+    assert not IntegratorConfig.transport_velocity(
+        freq_filter=0).reads_rhoaux()
+    # a user overriding fsi's sentinel with a real cadence re-enables it
+    assert IntegratorConfig.fsi(freq_filter=20).reads_rhoaux()
+
+
+def test_scene_build_elides_filter_accs_for_never_filter_integrators():
+    """Scene.build sets PairConfig.density_filter_accs from
+    IntegratorConfig.reads_rhoaux — permanently eliding the dead rhoAux
+    accumulation for integrators that never filter."""
+    from sph_bvf_tpu.api.scene import Region, Scene
+
+    def mini(variant):
+        sc = Scene(dim=2, boundary=("f", "f", "p"))
+        sc.create_box(1, Region.block(0, 1, 0, 1, 0, 0.05))
+        sc.lattice("sq", 0.05)
+        sc.create_atoms(1, Region.block(0, 1, 0, 1, -1, 1))
+        sc.mass(1, 4e-4)
+        sc.set("all", rho=1.0, e=0.0)
+        sc.pair_style("transport_velocity")
+        sc.pair_coeff(1, 1, 1.0, 10.0, 1e-2, 0.05, 0.05, 0.0)
+        sc.integrator(variant)
+        sc.timestep(1e-5)
+        return sc.build()
+
+    spec_tv = mini("transport_velocity")[2]
+    assert spec_tv.pair.density_filter_accs
+    spec_fsi = mini("fsi")[2]
+    assert not spec_fsi.pair.density_filter_accs
+
+
+def test_density_filter_cadence_gating_exact():
+    """run_chunk's phase segmentation (density_filter_accs flipped off for
+    the steps between Shepard-filter events) is exact: rhoAux1/2 are
+    rebuilt from scratch every step and consumed only when
+    step % freq_filter == 0, so eliding them elsewhere cannot change any
+    physics field.  Also proves the filter is LIVE in this window (a
+    never-filter run diverges) and that the elision actually happened
+    (rhoAux is zero at a non-filter chunk boundary)."""
+    from sph_bvf_tpu.core.stepper import ModelSpec, run_chunk, setup
+
+    sys = clustered_system()
+    geom, st0, params = build_state_params(sys)
+    pair = PairConfig.transport_velocity(dim=2, weighted_solid=True)
+    spec = ModelSpec(
+        geom=geom, pair=pair,
+        integ=IntegratorConfig.transport_velocity(freq_filter=5),
+        rebin_every=4,
+    )
+    dt = 1e-4
+    # ungated reference: every step accumulates rhoAux (phase=None)
+    a = setup(st0, params, spec, dt=dt)
+    b = a
+    # gated: absolute-phase tracking exactly as simulate()/bench do;
+    # 12 steps with freq 5 puts filter events at steps 5 and 10 (mid-chunk)
+    for i, done in enumerate((0, 4, 8)):
+        a = run_chunk(a, params, spec, 4)
+        b = run_chunk(b, params, spec, 4, phase=done % 5)
+        if i == 0:
+            # chunk 1 holds no filter event: the gated scan elides ONLY
+            # dead accumulation, so every physics field is bitwise equal
+            for f in DYN_FIELDS:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"pure-elision chunk changed field {f}",
+                )
+    # across filter events the gated chunk inlines the filter step instead
+    # of scanning it; XLA fuses the SAME math slightly differently there,
+    # so allow 1-2 ulp of f64 program-reassociation noise (measured max
+    # 4.4e-16 over 12 steps) — far below any semantic divergence
+    for f in DYN_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            rtol=1e-12, atol=1e-13,
+            err_msg=f"cadence gating changed physics field {f}",
+        )
+    # elision really happened: step 12 is not a filter step, so the gated
+    # run's final pair pass skipped the accumulators
+    assert float(jnp.abs(a.rhoAux1).max()) > 0
+    assert float(jnp.abs(b.rhoAux1).max()) == 0
+    # and the filter is live in this window: disabling it diverges
+    spec_nf = dataclasses.replace(
+        spec, integ=IntegratorConfig.transport_velocity(freq_filter=0)
+    )
+    c = setup(st0, params, spec_nf, dt=dt)
+    for _ in range(3):
+        c = run_chunk(c, params, spec_nf, 4)
+    assert float(jnp.abs(a.rho - c.rho).max()) > 0

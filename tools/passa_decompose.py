@@ -88,6 +88,25 @@ def _v_geom(I, J, coeffs, params, cfg, dt, step, notself, acc, seed=0,
     return acc
 
 
+_REAL_BODY = _REAL
+
+
+def _v_norhoaux(I, J, coeffs, params, cfg, dt, step, notself, acc, seed=0,
+                pbc=(), defer_elastic_forces=False):
+    """Full physics minus the density-filter accumulators (rhoAux1/2) —
+    prices the cadence-gating idea: they are consumed only every
+    freq_filter=20 steps, so a two-program chunk could skip them on 19/20
+    steps exactly."""
+    acc = _REAL_BODY(I, J, coeffs, params, cfg, dt, step, notself, acc,
+                     seed=seed, pbc=pbc,
+                     defer_elastic_forces=defer_elastic_forces)
+    # the sums already happened; zeroing keeps shapes while letting the
+    # compiler DCE them (they feed only these accumulator outputs)
+    acc["rhoAux1"] = jnp.zeros_like(acc["rhoAux1"])
+    acc["rhoAux2"] = jnp.zeros_like(acc["rhoAux2"])
+    return acc
+
+
 def _barrier(state) -> float:
     return float(jnp.sum(state.rho))
 
@@ -243,6 +262,9 @@ def main():
     if run("build"):
         emit("build_ms", _time_build(state, params, geom, cfg,
                                      args.repeats))
+    if run("norhoaux"):
+        emit("norhoaux_ms", _time_variant(
+            state, params, geom, cfg, args.repeats, patch=_v_norhoaux))
     if run("stage"):
         emit("stage_ms", _time_variant(
             state, params, geom, cfg, args.repeats, patch=_v_stage))
