@@ -134,7 +134,14 @@ def run_chunk(state: State, params: Params, spec: ModelSpec, n: int,
     before."""
     state = rebin(state, spec.geom, drop=_rebin_drop(spec),
                   mesh=spec.mesh, mesh_axis=spec.mesh_axis)
+    return scan_steps(state, params, spec, n, phase)
 
+
+def scan_steps(state: State, params: Params, spec: ModelSpec, n: int,
+               phase: Optional[int]) -> State:
+    """n steps, segmented at the density-filter cadence when ``phase`` is
+    given (see run_chunk).  Trace-time helper shared by run_chunk and
+    run_chunk_ensemble — ``phase`` must be a static Python int or None."""
     freq = getattr(spec.integ, "freq_filter", 0)
     gate = (
         phase is not None

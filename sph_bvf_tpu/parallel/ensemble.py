@@ -33,19 +33,19 @@ def stack_replicas(state: State, n_replicas: int, seed0: int = 0) -> State:
     return dataclasses.replace(stacked, key=keys)
 
 
-@partial(jax.jit, static_argnames=("spec", "n"))
-def run_chunk_ensemble(state: State, params, spec: ModelSpec, n: int) -> State:
-    """rebin + n steps for every replica, one compiled program."""
+@partial(jax.jit, static_argnames=("spec", "n", "phase"))
+def run_chunk_ensemble(state: State, params, spec: ModelSpec, n: int,
+                       phase=None) -> State:
+    """rebin + n steps for every replica, one compiled program.
+
+    ``phase`` as in run_chunk: the chunk's absolute starting step modulo
+    freq_filter, enabling the density-filter cadence elision (replicas
+    share the step counter, so one static phase serves the whole batch)."""
     from sph_bvf_tpu.core.state import rebin
-    from sph_bvf_tpu.core.stepper import _rebin_drop
+    from sph_bvf_tpu.core.stepper import _rebin_drop, scan_steps
 
     def chunk(s):
         s = rebin(s, spec.geom, drop=_rebin_drop(spec))
-
-        def body(ss, _):
-            return step(ss, params, spec), None
-
-        s, _ = jax.lax.scan(body, s, None, length=n)
-        return s
+        return scan_steps(s, params, spec, n, phase)
 
     return jax.vmap(chunk)(state)

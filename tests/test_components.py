@@ -86,6 +86,13 @@ def test_ensemble_replicas_step_together():
     np.testing.assert_array_equal(np.asarray(out.x[0]), np.asarray(out.x[1]))
     # but carry distinct RNG keys for stochastic layers
     assert not np.array_equal(np.asarray(out.key[0]), np.asarray(out.key[1]))
+    # phase-gated ensemble chunk (density-filter cadence elision): steps
+    # 1-5 at freq_filter 20 hold no filter event — pure dead-work elision,
+    # so every physics field is bitwise equal to the ungated chunk
+    out_g = run_chunk_ensemble(batch, params, spec, 5, phase=0)
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(out_g.x))
+    np.testing.assert_array_equal(np.asarray(out.rho), np.asarray(out_g.rho))
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(out_g.v))
 
 
 def test_load_with_geometry_rebuilds_geom(tmp_path):
