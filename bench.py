@@ -147,14 +147,19 @@ def _barrier(state) -> float:
     return float(jnp.sum(state.rho))
 
 
-def _time_model(build, dt, n_chunks, warmup_chunks=1):
+def _time_model(build, dt, n_chunks, warmup_chunks=1, allow_gating=True):
     state, params, spec, sc = build()
     n_particles = int(state.n_valid)
     state = setup(state, params, spec, dt=dt or sc._dt)
     # filter-cadence phase tracking (mirrors simulate): chunks whose steps
-    # all fall between density-filter events elide the rhoAux accumulation
+    # all fall between density-filter events elide the rhoAux accumulation.
+    # allow_gating=False forces the single ungated program — stage 1 uses
+    # it because gating doubles the cold-compile count and the stage-1
+    # subprocess must produce its early signal inside the parent's 600s
+    # wedge-detection timeout even on a freshly cold cache.
     freq = getattr(spec.integ, "freq_filter", 0)
-    gated = spec.integ.reads_rhoaux() and spec.pair.density_filter_accs
+    gated = (allow_gating and spec.integ.reads_rhoaux()
+             and spec.pair.density_filter_accs)
     done = int(state.step)
 
     def chunk(s):
@@ -197,7 +202,7 @@ def _stage1_child():
     N = int(os.environ.get("BENCH_STAGE1", "50"))
     n, ps = _time_model(
         lambda: lid_cavity.build(N=N, Re=100.0, rebin_every=10),
-        dt=None, n_chunks=2,
+        dt=None, n_chunks=2, allow_gating=False,
     )
     print(json.dumps({"stage1": True, "N": N, "n": n, "value": round(ps)}),
           flush=True)
@@ -380,41 +385,52 @@ def main():
 
     # ---- model matrix
     if os.environ.get("BENCH_MODELS", "1") != "0":
-        # (name, build thunk, dt, timed chunks, baseline key)
+        # (name, build thunk, dt, timed chunks, baseline key, gated)
+        # gated=False on the 3D leg: its chunk program is by far the most
+        # expensive compile in the matrix, and cadence gating doubles the
+        # variant count — on a freshly cold cache (every tunnel
+        # re-establishment) that pushed the leg past the driver-scale
+        # budget.  The gating win is a few percent; fitting the matrix in
+        # the budget is worth more.
         if on_tpu:
             # cheap-to-build legs first: on a cold compile cache the 3D
             # N=100 leg's 1.19M-particle host build + compile can eat the
             # whole remaining budget
             matrix = [
-                ("fsi_nx60", lambda: fsi.build(nx=60), 1e-8, 10, "fsi"),
+                ("fsi_nx60", lambda: fsi.build(nx=60), 1e-8, 10, "fsi",
+                 True),
                 ("cell_polarization_nx100",
                  lambda: cell_polarization.build(nx=100), 1e-10, 10,
-                 "cell_polarization"),
+                 "cell_polarization", True),
                 ("natural_convection_N200",
                  lambda: natural_convection.build(N=200), 1e-4, 10,
-                 "natural_convection"),
+                 "natural_convection", True),
                 ("lid_cavity3d_N100",
-                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, "lid_cavity3d"),
+                 lambda: lid_cavity3d.build(N=100), 1e-4, 3, "lid_cavity3d",
+                 False),
             ]
         else:
             matrix = [
                 ("lid_cavity3d_N24",
-                 lambda: lid_cavity3d.build(N=24), 1e-4, 2, "lid_cavity3d"),
+                 lambda: lid_cavity3d.build(N=24), 1e-4, 2, "lid_cavity3d",
+                 False),
                 ("natural_convection_N50",
                  lambda: natural_convection.build(N=50), 1e-4, 2,
-                 "natural_convection"),
-                ("fsi_nx30", lambda: fsi.build(nx=30), 1e-8, 2, "fsi"),
+                 "natural_convection", True),
+                ("fsi_nx30", lambda: fsi.build(nx=30), 1e-8, 2, "fsi",
+                 True),
                 ("cell_polarization_nx50",
                  lambda: cell_polarization.build(nx=50), 1e-10, 2,
-                 "cell_polarization"),
+                 "cell_polarization", True),
             ]
-        for name, build, dt, chunks, key in matrix:
+        for name, build, dt, chunks, key, gated in matrix:
             if left() <= 0:
                 models[name] = dict(skipped=f"budget ({budget_s:.0f}s)")
                 emit()
                 continue
             try:
-                n_m, ps_m = _time_model(build, dt, chunks)
+                n_m, ps_m = _time_model(build, dt, chunks,
+                                        allow_gating=gated)
             except Exception as e:  # record, don't kill the flagship line
                 models[name] = dict(error=f"{type(e).__name__}: {e}"[:200])
                 emit()

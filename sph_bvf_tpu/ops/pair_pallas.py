@@ -160,10 +160,15 @@ def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
     rows = [
         ("valid", 1), ("ptype", 1), ("solid", 1),
         ("x", 3), ("v", 3), ("vest", 3),
-        ("rho", 1), ("rhoI", 1),
+        ("rho", 1),
         ("m", 1), ("B", 1), ("c0", 1),
         ("P_rho2", 1), ("inv_rho", 1), ("m_rho", 1), ("V2", 1),
     ]
+    if getattr(cfg, "density_filter_accs", True):
+        # rhoI is consumed ONLY by the Shepard-filter rhoAux1 accumulation
+        # (ops/pair.py), so the cadence-gated programs drop its window row
+        # entirely — one less row of DMA, concat, and per-offset rotation
+        rows.insert(7, ("rhoI", 1))
     if cfg.solids_present:
         rows.append(("AS", 9) if cfg.elastic_present else ("ASd", 1))
     if cfg.elastic_present:
@@ -182,9 +187,15 @@ def _field_layout(params: Params, cfg) -> List[Tuple[str, int]]:
 
 def _acc_layout(params: Params, cfg) -> List[Tuple[str, int]]:
     rows = [
-        ("num_den", 1), ("rhoAux1", 1), ("rhoAux2", 1),
+        ("num_den", 1),
         ("ddv", 3), ("f", 3), ("drho", 1), ("de", 1),
     ]
+    if getattr(cfg, "density_filter_accs", True):
+        # dropped from the cadence-gated programs: the loop carries two
+        # fewer accumulator rows and the output writes two fewer planes
+        # (compute_forces pre-fills rhoAux with zeros, so absent keys in
+        # the kernel's returned dict degrade exactly)
+        rows[1:1] = [("rhoAux1", 1), ("rhoAux2", 1)]
     if cfg.xsph:
         rows.append(("ddx", 3))
     if cfg.solids_present:

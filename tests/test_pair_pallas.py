@@ -482,3 +482,34 @@ def test_ssa_split_matches_jnp_path():
     )
     np.testing.assert_array_equal(np.asarray(qd), np.asarray(ref.Qd))
     assert int(jnp.sum(jnp.abs(qd))) > 0  # hops actually drawn
+
+
+def test_gated_layout_matches_jnp_path(cavity):
+    """density_filter_accs=False shrinks both kernel layouts — the rhoI
+    window row (consumed only by rhoAux1) and the two rhoAux accumulator
+    rows are dropped from the packed matrices.  The remaining physics
+    accumulators must match the jnp path (which runs the same gated
+    _pass_a_offset), on both the rowloop and grouped kernels."""
+    state, params, spec = cavity
+    cfg = dataclasses.replace(spec.pair, density_filter_accs=False)
+    names = [n for n, _ in _acc_layout(params, cfg)]
+    assert "rhoAux1" not in names and "rhoAux2" not in names
+    from sph_bvf_tpu.ops.pair_pallas import _field_layout
+    assert "rhoI" not in [n for n, _ in _field_layout(params, cfg)]
+
+    ref = compute_forces(
+        state, params, spec.geom, dataclasses.replace(cfg, use_pallas=False)
+    )
+    assert float(jnp.max(jnp.abs(ref.rhoAux1))) == 0.0  # jnp path elided too
+    pf = _per_particle(state, params, cfg)
+    for rowloop in (True, False):
+        acc = pass_a_pallas(pf, params, spec.geom, cfg, block=128,
+                            interpret=True, rowloop=rowloop)
+        for name in names:
+            got = jnp.asarray(acc[name])
+            want = getattr(ref, name)
+            if name == "num_den":
+                got = jnp.where(state.valid, got, 1.0)
+            err = float(jnp.max(jnp.abs(got - want)))
+            scale = max(float(jnp.max(jnp.abs(want))), 1e-12)
+            assert err <= 5e-6 * scale, (rowloop, name, err, scale)
